@@ -1,0 +1,176 @@
+"""Typed configuration tree for scrabblegan_tpu.
+
+Mirrors the three gin groups of the reference (`src/scrabble_gan.gin`,
+`src/main.py:25-51`: setup_optimizer / shared_specs / io) as frozen dataclasses, with
+JSON-file loading and dotted-path CLI overrides replacing gin. Loss functions and
+kernel regularizers are selected by registry name, preserving the reference's
+"swap @hinge / @not_saturating in config" capability (`src/main.py:16-18`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+CHAR_VECTOR = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+@dataclass(frozen=True)
+class OptimizerConfig:
+    """Reference: setup_optimizer gin bindings (scrabble_gan.gin:5-14)."""
+
+    g_lr: float = 2e-4
+    d_lr: float = 2e-4
+    r_lr: float = 2e-4
+    w_lr: float = 2e-4
+    beta_1: float = 0.0
+    beta_2: float = 0.999
+    loss_fn: str = "hinge"  # registry name: 'hinge' | 'not_saturating'
+    disc_iters: int = 1
+    apply_gradient_balance: bool = False
+    balance_alpha: float = 1.0
+    rmsprop: bool = False  # RMSprop for the recognizer (reference main.py:29-32)
+    # Reproduce the reference call-site style-loss argument-order bug
+    # (SURVEY.md defect #2) instead of the intended semantics.
+    bug_compatible_style_loss: bool = False
+
+
+@dataclass(frozen=True)
+class SharedSpecs:
+    """Reference: shared_specs gin bindings (scrabble_gan.gin:17-26)."""
+
+    epochs: int = 10
+    batch_size: int = 16
+    latent_dim: int = 128
+    embed_y: Tuple[int, int] = (32, 8192)  # filter bank patch dims
+    num_gen: int = 16  # images in the fixed visualization grid
+    kernel_reg: str = "spectral_norm"  # 'spectral_norm' | 'none'
+    g_bw_attention: str = "B3"  # generator blocks with self-attention
+    d_bw_attention: str = "B1"  # discriminator blocks with self-attention
+    my_rec: bool = False  # BiLSTM recognizer variant (net_architecture.py:82)
+    my_disc: bool = False  # DCGAN discriminator variant (net_architecture.py:417)
+    # z source for the generator: 'style' = the fork's style-encoder path
+    # (net_architecture.py:226-257); 'noise' = upstream ScrabbleGAN sampled z,
+    # which is what run_inference.py exercises (SURVEY.md defect #10 — support both).
+    z_source: str = "style"
+    # Computation dtype for the model forward/backward ('float32' | 'bfloat16').
+    # Params are always float32.
+    dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class IOConfig:
+    """Reference: io gin bindings (scrabble_gan.gin:29-43)."""
+
+    base_path: str = "./runs/"
+    checkpoint_dir: str = "checkpoints/"
+    gen_imgs_dir: str = "output/"
+    model_dir: str = "model/"
+    raw_dir: str = "data/IAM_mygan/img/"
+    read_dir: str = "data/IAM_mygan/words-Reading/"
+    style_dir: str = "data/style_imgs/"  # reference hardcodes 'Utku_40/' (data_utils.py:109)
+    words_file: str = "data/random_words.txt"
+    input_dim: Tuple[int, int, int] = (32, 160, 1)  # (H, W_max, C)
+    buf_size: int = 80377
+    n_classes: int = 52
+    seq_len: Optional[int] = None
+    bucket_size: int = 10
+    char_vec: str = CHAR_VECTOR
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """TPU-native data parallelism (new component; no reference counterpart —
+    SURVEY.md §5 'Distributed communication backend')."""
+
+    # Number of devices for the data mesh; -1 = all visible devices.
+    num_devices: int = -1
+    # 'bucketed': one XLA compilation per word-length bucket (exact reference
+    # shape semantics, zero padding waste).
+    # 'padded': single compilation at max width with width masks.
+    shape_mode: str = "bucketed"
+    # Fake-label bucket sampling: 'matched' = same bucket as the real batch
+    # (10 compiled steps); 'independent' = reference semantics, fake bucket
+    # drawn uniformly (lazy per-(real,fake) compilation).
+    bucket_pairing: str = "matched"
+
+
+@dataclass(frozen=True)
+class Config:
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    shared: SharedSpecs = field(default_factory=SharedSpecs)
+    io: IOConfig = field(default_factory=IOConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    seed: int = 0
+
+
+def _dataclass_from_dict(cls, data: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        value = data[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in (
+            "optimizer",
+            "shared",
+            "io",
+            "parallel",
+        ):
+            sub_cls = {
+                "optimizer": OptimizerConfig,
+                "shared": SharedSpecs,
+                "io": IOConfig,
+                "parallel": ParallelConfig,
+            }[f.name]
+            value = _dataclass_from_dict(sub_cls, value)
+        elif isinstance(value, list):
+            value = tuple(value)
+        kwargs[f.name] = value
+    return cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    """Build a Config from an optional JSON file plus dotted-path overrides.
+
+    `overrides` maps e.g. 'optimizer.g_lr' -> 1e-4 or 'shared.my_rec' -> True.
+    """
+    data: dict = {}
+    if path:
+        with open(path) as f:
+            data = json.load(f)
+    cfg = _dataclass_from_dict(Config, data)
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_overrides(cfg: Config, overrides: dict) -> Config:
+    for dotted, value in overrides.items():
+        parts = dotted.split(".")
+        cfg = _replace_path(cfg, parts, value)
+    return cfg
+
+
+def _replace_path(obj: Any, parts, value):
+    if len(parts) == 1:
+        current = getattr(obj, parts[0])
+        if isinstance(current, bool) and isinstance(value, str):
+            value = value.lower() in ("1", "true", "yes")
+        elif isinstance(current, int) and not isinstance(current, bool) and isinstance(value, str):
+            value = int(value)
+        elif isinstance(current, float) and isinstance(value, str):
+            value = float(value)
+        elif isinstance(current, tuple) and isinstance(value, (list, str)):
+            if isinstance(value, str):
+                value = tuple(int(v) for v in value.strip("()[] ").split(","))
+            else:
+                value = tuple(value)
+        return dataclasses.replace(obj, **{parts[0]: value})
+    sub = getattr(obj, parts[0])
+    return dataclasses.replace(obj, **{parts[0]: _replace_path(sub, parts[1:], value)})
+
+
+def config_to_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg)

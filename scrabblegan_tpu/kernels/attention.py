@@ -1,0 +1,78 @@
+"""Fused Pallas TPU kernel for the SAGAN non-local attention core.
+
+Computes softmax(theta @ phi^T) @ g in one VMEM-resident pass per (batch, q-block),
+so the (Q, K) attention matrix — the largest intermediate in the whole model, up to
+5120x1280 floats for 10-char words — never round-trips to HBM. This is the fusion
+target SURVEY.md §5 identifies ("the attention block is the natural Pallas fusion
+target"); numerics are tested against the pure-XLA einsum path in
+tests/test_kernels.py.
+
+Falls back to pure XLA when shapes don't meet the tiling preconditions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu import fails on non-TPU-capable builds; fall back gracefully
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+
+def _attention_kernel(theta_ref, phi_ref, g_ref, out_ref):
+    # theta: (1, QB, Ca), phi: (1, K, Ca), g: (1, K, Cg) -> out: (1, QB, Cg)
+    theta = theta_ref[0].astype(jnp.float32)
+    phi = phi_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+
+    scores = jax.lax.dot_general(
+        theta, phi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (QB, K)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(attn, g, preferred_element_type=jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _xla_attention(theta, phi, g):
+    scores = jnp.einsum("bqc,bkc->bqk", theta, phi, preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(theta.dtype)
+    return jnp.einsum("bqk,bkc->bqc", attn, g, preferred_element_type=jnp.float32).astype(
+        theta.dtype
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nonlocal_attention(theta, phi, g):
+    """theta: (B, Q, Ca); phi: (B, K, Ca); g: (B, K, Cg) -> (B, Q, Cg).
+
+    Non-scaled dot-product attention with softmax over K, matching the reference's
+    NonLocalBlock math (arch_ops.py:51-61: softmax(theta phi^T) g, no 1/sqrt(d))."""
+    b, q, ca = theta.shape
+    k = phi.shape[1]
+    cg = g.shape[2]
+
+    q_block = 256 if q % 256 == 0 else (128 if q % 128 == 0 else q)
+    if not _HAS_PLTPU or q % q_block != 0:
+        return _xla_attention(theta, phi, g)
+
+    grid = (b, q // q_block)
+    return pl.pallas_call(
+        _attention_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, q, cg), theta.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, ca), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, k, ca), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, k, cg), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, cg), lambda i, j: (i, j, 0)),
+    )(theta, phi, g)

@@ -1,0 +1,78 @@
+"""GAN loss library: hinge and non-saturating, with the INTENDED five-logit style
+semantics.
+
+Reference parity notes (net_loss.py:4-54 + call site data_utils.py:409-418):
+- The reference's gin default `@hinge` takes 4 logits but is called with 5 and would
+  crash (SURVEY.md defect #1). Here both losses take the same 5 logits.
+- The reference call site passes style-promoter logits in the wrong order
+  (SURVEY.md defect #2), so W is effectively trained style-imgs(1) vs GENERATED(0)
+  and G's style gradient is zero. The intended semantics (per the reference's own
+  parameter names) are: W separates style images (label 1) from IAM training images
+  (label 0); G maximizes W(G(.)). This module implements the intended semantics;
+  the train step exposes `bug_compatible_style_loss` to reproduce the reference's
+  effective wiring for bit-level behavioral parity experiments.
+
+Each loss returns the reference's 7-tuple of PER-SAMPLE vectors:
+(d_loss, d_loss_real, d_loss_fake, g_loss, s_loss, s_loss_pos, s_loss_neg).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def _sce_ones(logits):
+    return optax.sigmoid_binary_cross_entropy(logits, jnp.ones_like(logits))
+
+
+def _sce_zeros(logits):
+    return optax.sigmoid_binary_cross_entropy(logits, jnp.zeros_like(logits))
+
+
+def hinge(d_real, d_fake, s_pos, s_neg, s_for_g):
+    """Hinge GAN loss (net_loss.py:38-54, extended to the intended 5-logit form).
+
+    d_real/d_fake: discriminator logits on real/generated images.
+    s_pos: style-promoter logits on target-style images (positive class).
+    s_neg: style-promoter logits on the negative class (IAM images intended;
+           generated images in bug-compatible mode).
+    s_for_g: style-promoter logits through which G's style term flows
+             (generated images intended; IAM logits — zero grad — in bug mode).
+    """
+    d_loss_real = jnp.maximum(0.0, 1.0 - d_real)
+    d_loss_fake = jnp.maximum(0.0, 1.0 + d_fake)
+    d_loss = d_loss_real + d_loss_fake
+
+    s_loss_pos = jnp.maximum(0.0, 1.0 - s_pos)
+    s_loss_neg = jnp.maximum(0.0, 1.0 + s_neg)
+    s_loss = s_loss_pos + s_loss_neg
+
+    g_loss = -(d_fake + s_for_g)
+    return d_loss, d_loss_real, d_loss_fake, g_loss, s_loss, s_loss_pos, s_loss_neg
+
+
+def not_saturating(d_real, d_fake, s_pos, s_neg, s_for_g):
+    """Non-saturating (sigmoid cross-entropy) GAN loss (net_loss.py:4-35)."""
+    d_loss_real = _sce_ones(d_real)
+    d_loss_fake = _sce_zeros(d_fake)
+    d_loss = d_loss_real + d_loss_fake
+
+    s_loss_pos = _sce_ones(s_pos)
+    s_loss_neg = _sce_zeros(s_neg)
+    s_loss = s_loss_pos + s_loss_neg
+
+    g_loss = _sce_ones(d_fake) + _sce_ones(s_for_g)
+    return d_loss, d_loss_real, d_loss_fake, g_loss, s_loss, s_loss_pos, s_loss_neg
+
+
+LOSS_REGISTRY = {
+    "hinge": hinge,
+    "not_saturating": not_saturating,
+}
+
+
+def get_loss_fn(name: str):
+    if name not in LOSS_REGISTRY:
+        raise ValueError(f"Unknown loss '{name}'; available: {sorted(LOSS_REGISTRY)}")
+    return LOSS_REGISTRY[name]
