@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Inference entry point: arbitrary word string -> handwritten word images.
+
+API parity with reference src/run_inference.py: load a generator export, encode a
+sample string via char_vector indexing, run the generator in inference mode on
+[latent, labels], rescale [-1,1] -> [0,1], and save an n-row image grid. Supports
+BOTH latent sources (SURVEY.md defect #10): sampled z (the reference script's
+128-d noise, upstream ScrabbleGAN G) and a style image (this fork's G).
+
+Usage:
+  python infer.py --model-dir runs/model --word machinelearning -n 10 \
+      [--z-source noise|style] [--style-image path.png] [--out out.png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model-dir", required=True,
+                   help="model dir containing generator/<epoch>/, or a direct export path")
+    p.add_argument("--word", default="machinelearning")
+    p.add_argument("-n", "--num-samples", type=int, default=10)
+    p.add_argument("--z-source", default=None, choices=["noise", "style"],
+                   help="default: the config the model was trained with")
+    p.add_argument("--style-image", default=None, help="style image for z-source=style")
+    p.add_argument("--out", default="inference.png")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config", default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from scrabblegan_tpu.config import load_config
+    from scrabblegan_tpu.data.loaders import encode_word
+    from scrabblegan_tpu.data.images import read_grayscale, resize
+    from scrabblegan_tpu.train.checkpoint import latest_generator_export, load_generator
+    from scrabblegan_tpu.train.state import build_models
+    from scrabblegan_tpu.utils.viz import save_image_grid
+
+    overrides = dict(kv.split("=", 1) for kv in args.set)
+    cfg = load_config(args.config, overrides)
+    if args.z_source:
+        from dataclasses import replace
+
+        cfg = replace(cfg, shared=replace(cfg.shared, z_source=args.z_source))
+
+    export = latest_generator_export(args.model_dir) or args.model_dir
+    variables = load_generator(export)
+    generator = build_models(cfg).generator
+
+    n = args.num_samples
+    labels = np.asarray([encode_word(args.word, cfg.io.char_vec)] * n, np.int32)
+
+    kwargs = {}
+    if cfg.shared.z_source == "style":
+        h, w, _ = cfg.io.input_dim
+        if args.style_image:
+            img = read_grayscale(args.style_image).astype(np.float32)
+            rate = h / img.shape[0]
+            img = resize(img, max(1, int(img.shape[1] * rate)), h)
+            canvas = np.full((h, w), 255.0, np.float32)
+            canvas[:, : min(w, img.shape[1])] = img[:, :w]
+            style = (canvas - 127.5) / 127.5
+        else:
+            style = np.ones((h, w), np.float32)  # blank white page
+        kwargs["style_imgs"] = np.broadcast_to(style[None, ..., None],
+                                               (n, h, w, 1)).astype(np.float32)
+    else:
+        key = jax.random.PRNGKey(args.seed)
+        kwargs["z"] = jax.random.normal(key, (n, cfg.shared.latent_dim))
+
+    preds = generator.apply(variables, labels, train=False, **kwargs)
+    preds = np.asarray(preds)
+    save_image_grid(preds, labels, args.out, cfg.io.char_vec, grid=(n, 1))
+    print(f"wrote {args.out}: {preds.shape[0]} samples of '{args.word}' "
+          f"({preds.shape[1]}x{preds.shape[2]}px)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,7 +61,8 @@ def nonlocal_attention(theta, phi, g):
     cg = g.shape[2]
 
     q_block = 256 if q % 256 == 0 else (128 if q % 128 == 0 else q)
-    if not _HAS_PLTPU or q % q_block != 0:
+    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    if not _HAS_PLTPU or not on_tpu or q % q_block != 0:
         return _xla_attention(theta, phi, g)
 
     grid = (b, q // q_block)

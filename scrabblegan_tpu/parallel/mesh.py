@@ -1,0 +1,61 @@
+"""Data parallelism over ICI via jax.sharding + jit (SPMD).
+
+This is the TPU-native component with NO reference counterpart: the reference runs
+eagerly on a single device with no distribution strategy (SURVEY.md §2 language
+note, §5 "Distributed communication backend"). Design per the scaling-book recipe:
+a 1-D `Mesh('data')`, parameters + optimizer state replicated, batch sharded on its
+leading axis; XLA's SPMD partitioner inserts the gradient all-reduces over ICI
+automatically — no hand-written collectives in the step.
+
+Parity criterion (SURVEY.md §5): numerics identical to the single-device step when
+mesh size is 1. Multi-pod DCN extension is a mesh-shape change, not a code change.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scrabblegan_tpu.config import Config
+from scrabblegan_tpu.train.state import ModelBundle
+from scrabblegan_tpu.train.step import make_train_step
+
+
+def make_mesh(num_devices: int = -1, devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    if num_devices > 0:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data mesh."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
+                             donate: bool = True):
+    """jit the train step over the mesh: state replicated, batch data-sharded.
+
+    Returns a compiled callable step(state, batch, rng) -> (state, metrics)."""
+    step = make_train_step(cfg, models)
+    rep = replicate_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )

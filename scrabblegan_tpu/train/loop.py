@@ -1,0 +1,201 @@
+"""The training driver: epoch/batch loop, host input feeding, metrics, per-epoch
+visualization, checkpoint/resume, and the final GIF.
+
+Capability parity with train() (data_utils.py:198-352) + main() (main.py:54-117),
+redesigned TPU-first:
+- the step is ONE compiled function (scrabblegan_tpu.train.step); the jit cache
+  specializes it per (real-bucket, fake-bucket) shape pair — 10 specializations in
+  'matched' pairing (SURVEY.md §7 "per-bucket jit cache"),
+- host batch assembly is numpy with static shapes and the device transfer is a
+  sharded device_put over the data mesh,
+- checkpoints are full-state Orbax saves WITH restore-on-start (fixing the
+  reference's vestigial checkpoint, SURVEY.md defect #6), plus the reference's
+  per-epoch generator-only export,
+- per-step timing uses block_until_ready for honest steps/sec (SURVEY.md §5
+  tracing note).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from scrabblegan_tpu.config import Config
+from scrabblegan_tpu.data.loaders import (
+    BucketedDataset,
+    load_random_word_list,
+    load_style_images,
+    sample_fake_labels,
+)
+from scrabblegan_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_parallel_train_step,
+    replicate_sharding,
+)
+from scrabblegan_tpu.train import checkpoint as ckpt_lib
+from scrabblegan_tpu.train.metrics import SummaryWriter
+from scrabblegan_tpu.train.state import TrainState, build_models, create_train_state, param_count
+from scrabblegan_tpu.utils.viz import make_gif, save_epoch_grid
+
+
+class Trainer:
+    def __init__(self, cfg: Config, workdir: Optional[str] = None, verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        base = workdir or cfg.io.base_path
+        self.gen_path = os.path.join(base, cfg.io.gen_imgs_dir)
+        self.ckpt_path = os.path.join(base, cfg.io.checkpoint_dir)
+        self.model_path = os.path.join(base, cfg.io.model_dir)
+        for p in (self.gen_path, self.ckpt_path, self.model_path):
+            os.makedirs(p, exist_ok=True)
+
+        self.models = build_models(cfg)
+        self.mesh = make_mesh(cfg.parallel.num_devices)
+        self.step_fn = make_parallel_train_step(cfg, self.models, self.mesh)
+        self._rep = replicate_sharding(self.mesh)
+        self._bsh = batch_sharding(self.mesh)
+        self.np_rng = np.random.default_rng(cfg.seed)
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, resume: bool = True) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        state = create_train_state(self.cfg, rng, self.models)
+        state = jax.device_put(state, self._rep)
+        if resume:
+            restored, step = ckpt_lib.restore_state(self.ckpt_path, state)
+            if restored is not None:
+                if self.verbose:
+                    print(f"resumed from checkpoint at step {step}")
+                return jax.device_put(restored, self._rep)
+        if self.verbose:
+            n = sum(param_count(p) for p in
+                    (state.g_params, state.d_params, state.r_params, state.w_params))
+            print(f"initialized {n / 1e6:.1f}M parameters across G/D/R/W")
+        return state
+
+    def load_data(self, read_dir: Optional[str] = None,
+                  style_dir: Optional[str] = None,
+                  words_file: Optional[str] = None):
+        cfg = self.cfg
+        read_dir = read_dir or cfg.io.read_dir
+        style_dir = style_dir or cfg.io.style_dir
+        words_file = words_file or cfg.io.words_file
+        self.dataset = BucketedDataset(read_dir, cfg.io.input_dim,
+                                       cfg.io.bucket_size, cfg.io.char_vec,
+                                       seed=cfg.seed)
+        self.style_train, self.style_validate = load_style_images(
+            style_dir, cfg.io.input_dim, seed=cfg.seed)
+        if not self.style_validate:
+            self.style_validate = self.style_train[:1]
+        self.random_words = load_random_word_list(words_file, cfg.io.bucket_size,
+                                                  cfg.io.char_vec)
+        # fixed visualization seed (main.py:104-108)
+        k = cfg.shared.num_gen
+        idx = self.np_rng.integers(0, len(self.style_validate), size=k)
+        self.seed_style = np.stack([self.style_validate[i] for i in idx])[..., None]
+        # reference draws the viz word length from [4, bucket_size-1]
+        # (main.py:107); clamp the lower bound for small bucket configs
+        lo = min(4, cfg.io.bucket_size - 1)
+        seed_bucket = int(self.np_rng.integers(lo, cfg.io.bucket_size))
+        self.seed_labels = sample_fake_labels(self.np_rng, self.random_words, k,
+                                              seed_bucket + 1)
+
+    # ------------------------------------------------------------------ batch
+    def next_batch(self):
+        cfg = self.cfg
+        bsz = cfg.shared.batch_size
+        real_imgs, real_labels, bucket = self.dataset.sample_batch(bsz)
+        if cfg.parallel.bucket_pairing == "matched":
+            fake_bucket = bucket
+        else:  # 'independent': reference semantics (data_utils.py:386)
+            fake_bucket = int(self.np_rng.integers(1, cfg.io.bucket_size + 1))
+        fake_labels = sample_fake_labels(self.np_rng, self.random_words, bsz,
+                                         fake_bucket)
+        style_idx = self.np_rng.integers(0, len(self.style_train), size=bsz)
+        style_imgs = np.stack([self.style_train[i] for i in style_idx])[..., None]
+        batch = {
+            "real_imgs": real_imgs,
+            "real_labels": real_labels,
+            "style_imgs": style_imgs.astype(np.float32),
+            "fake_labels": fake_labels,
+        }
+        return jax.device_put(batch, self._bsh)
+
+    # ------------------------------------------------------------------ train
+    def train(self, epochs: Optional[int] = None,
+              batches_per_epoch: Optional[int] = None,
+              resume: bool = True) -> TrainState:
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.shared.epochs
+        if batches_per_epoch is None:
+            batches_per_epoch = int(cfg.io.buf_size / cfg.shared.batch_size) + 1
+
+        state = self.init_state(resume=resume)
+        start_step = int(jax.device_get(state.step))
+        start_epoch = start_step // batches_per_epoch
+        writer = SummaryWriter(self.gen_path, append=start_step > 0)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        if self.verbose:
+            print(f"no. training samples:  {self.dataset.num_samples}")
+            print(f"batch size:            {cfg.shared.batch_size}")
+            print(f"no. batch_per_epoch:   {batches_per_epoch}")
+            print(f"epoch size:            {epochs}")
+            print(f"devices:               {len(self.mesh.devices.flat)}")
+            print("training...")
+
+        for epoch_idx in range(start_epoch, epochs):
+            t0 = time.time()
+            for batch_idx in range(batches_per_epoch):
+                batch = self.next_batch()
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = self.step_fn(state, batch, step_rng)
+                metrics = jax.device_get(metrics)
+                writer.write_batch(epoch_idx, batch_idx, metrics)
+                if self.verbose and (batch_idx + 1) % max(1, batches_per_epoch // 10) == 0:
+                    print(
+                        f">{epoch_idx + 1}, {batch_idx + 1}/{batches_per_epoch}, "
+                        f"d={metrics['d_loss']:.3f}, d_real={metrics['d_loss_real']:.3f}, "
+                        f"d_fake={metrics['d_loss_fake']:.3f}, g_trad={metrics['g_loss']:.3f}, "
+                        f"r_loss_fake={metrics['r_loss_fake']:.3f}, "
+                        f"g_loss={metrics['g_loss_final']:.3f}, "
+                        f"r={metrics['r_loss_real']:.3f}, s={metrics['s_loss_real']:.3f}")
+            writer.end_epoch()
+
+            jax.block_until_ready(state)
+            if self.verbose:
+                print(f"Time for epoch {epoch_idx + 1} is {time.time() - t0:.1f} sec")
+
+            self.save_epoch_artifacts(state, epoch_idx + 1)
+
+        writer.close()
+        make_gif(self.gen_path, "biggan.gif")
+        return state
+
+    # ----------------------------------------------------------------- extras
+    def save_epoch_artifacts(self, state: TrainState, epoch: int) -> None:
+        imgs = self.generate(state, self.seed_labels, self.seed_style)
+        save_epoch_grid(np.asarray(imgs), self.seed_labels, self.gen_path, epoch,
+                        self.cfg.io.char_vec)
+        ckpt_lib.save_state(self.ckpt_path, jax.device_get(state),
+                            int(jax.device_get(state.step)))
+        ckpt_lib.save_generator(self.model_path, jax.device_get(state.g_params),
+                                jax.device_get(state.g_stats), epoch)
+
+    def generate(self, state: TrainState, labels: np.ndarray,
+                 style_imgs: Optional[np.ndarray] = None,
+                 z: Optional[np.ndarray] = None):
+        """Inference-mode generation on the current params (BN uses running stats,
+        matching generate_and_save_images' training=False, data_utils.py:507)."""
+        variables = {"params": state.g_params, "batch_stats": state.g_stats}
+        kwargs = {}
+        if self.cfg.shared.z_source == "style":
+            kwargs["style_imgs"] = style_imgs
+        else:
+            kwargs["z"] = z
+        return self.models.generator.apply(variables, labels, train=False, **kwargs)

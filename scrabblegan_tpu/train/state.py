@@ -1,0 +1,154 @@
+"""Train state: parameters, BN/SN statistics, and optimizer states for all four
+networks (G, D, R, W) as one pytree, plus the model builders.
+
+Replaces the reference's Keras models + 4 Keras optimizers + vestigial
+tf.train.Checkpoint (main.py:73-102, SURVEY.md component 22) with a single
+flax.struct pytree that Orbax checkpoints and restores atomically — upgrading
+checkpoint/resume from vestigial to real (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from scrabblegan_tpu.config import Config
+from scrabblegan_tpu.models import (
+    BiLSTMRecognizer,
+    DCGANDiscriminator,
+    Discriminator,
+    Generator,
+    Recognizer,
+    StylePromoter,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    """The four networks (reference main.py:73-87)."""
+
+    generator: Generator
+    discriminator: Any
+    recognizer: Any
+    style_promoter: StylePromoter
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    g_params: Any
+    g_stats: Any
+    d_params: Any
+    d_stats: Any
+    r_params: Any
+    r_stats: Any
+    w_params: Any
+    w_stats: Any
+    g_opt: Any
+    d_opt: Any
+    r_opt: Any
+    w_opt: Any
+
+
+def build_models(cfg: Config, use_pallas_attention: bool = False) -> ModelBundle:
+    dtype = jnp.bfloat16 if cfg.shared.dtype == "bfloat16" else jnp.float32
+    use_sn = cfg.shared.kernel_reg == "spectral_norm"
+    h, _, c = cfg.io.input_dim
+
+    generator = Generator(
+        vocab_size=cfg.io.n_classes,
+        latent_dim=cfg.shared.latent_dim,
+        embed_y=cfg.shared.embed_y,
+        blocks_with_attention=cfg.shared.g_bw_attention,
+        z_source=cfg.shared.z_source,
+        img_channels=c,
+        img_height=h,
+        use_sn=use_sn,
+        use_pallas_attention=use_pallas_attention,
+        dtype=dtype,
+    )
+    if cfg.shared.my_disc:
+        discriminator = DCGANDiscriminator(use_sn=use_sn, dtype=dtype)
+    else:
+        discriminator = Discriminator(
+            blocks_with_attention=cfg.shared.d_bw_attention,
+            use_sn=use_sn,
+            use_pallas_attention=use_pallas_attention,
+            dtype=dtype,
+        )
+    rec_cls = BiLSTMRecognizer if cfg.shared.my_rec else Recognizer
+    recognizer = rec_cls(num_classes=cfg.io.n_classes + 1, dtype=dtype)
+    style_promoter = StylePromoter(
+        blocks_with_attention=cfg.shared.d_bw_attention,
+        use_sn=use_sn,
+        use_pallas_attention=use_pallas_attention,
+        dtype=dtype,
+    )
+    return ModelBundle(generator, discriminator, recognizer, style_promoter)
+
+
+def make_optimizers(cfg: Config) -> Dict[str, optax.GradientTransformation]:
+    """Adam x4 (lr 2e-4, betas (0.0, 0.999)); optional RMSprop for R
+    (reference main.py:25-35, scrabble_gan.gin:5-14)."""
+    o = cfg.optimizer
+    adam = lambda lr: optax.adam(lr, b1=o.beta_1, b2=o.beta_2)
+    return {
+        "g": adam(o.g_lr),
+        "d": adam(o.d_lr),
+        "r": optax.rmsprop(o.r_lr) if o.rmsprop else adam(o.r_lr),
+        "w": adam(o.w_lr),
+    }
+
+
+def _split_vars(variables):
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    return params, stats
+
+
+def create_train_state(cfg: Config, rng: jax.Array,
+                       models: ModelBundle | None = None) -> TrainState:
+    models = models or build_models(cfg)
+    h, w_max, c = cfg.io.input_dim
+    batch = cfg.shared.batch_size
+    init_len = 4  # any length works: all networks are fully conv over width
+    k_g, k_d, k_r, k_w = jax.random.split(rng, 4)
+
+    labels = jnp.zeros((batch, init_len), jnp.int32)
+    imgs = jnp.zeros((batch, h, (h // 2) * init_len, c), jnp.float32)
+    style_imgs = jnp.zeros((batch, h, w_max, c), jnp.float32)
+
+    if cfg.shared.z_source == "style":
+        g_vars = models.generator.init(k_g, labels, style_imgs=style_imgs, train=True)
+    else:
+        z = jnp.zeros((batch, cfg.shared.latent_dim), jnp.float32)
+        g_vars = models.generator.init(k_g, labels, z=z, train=True)
+    d_vars = models.discriminator.init(k_d, imgs, True)
+    r_vars = models.recognizer.init({"params": k_r, "dropout": k_r}, imgs, True)
+    w_vars = models.style_promoter.init(k_w, style_imgs, True)
+
+    opts = make_optimizers(cfg)
+    g_params, g_stats = _split_vars(g_vars)
+    d_params, d_stats = _split_vars(d_vars)
+    r_params, r_stats = _split_vars(r_vars)
+    w_params, w_stats = _split_vars(w_vars)
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params, g_stats=g_stats,
+        d_params=d_params, d_stats=d_stats,
+        r_params=r_params, r_stats=r_stats,
+        w_params=w_params, w_stats=w_stats,
+        g_opt=opts["g"].init(g_params),
+        d_opt=opts["d"].init(d_params),
+        r_opt=opts["r"].init(r_params),
+        w_opt=opts["w"].init(w_params),
+    )
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))

@@ -1,0 +1,211 @@
+"""The single jitted multi-network train step.
+
+Replaces the reference's eager 4-GradientTape step (data_utils.py:355-473 — the
+`@tf.function` there is commented out, so the reference runs per-op eager kernels)
+with ONE traced/compiled function that:
+
+1. runs all six forward passes (G composite -> D/W/R on fake; D on real; W on style
+   + IAM; R on real) once,
+2. computes all four losses with the gradient routing of the reference encoded as
+   stop_gradient placement —
+     - D/W/R gradients never flow into G's images (stop_gradient on gen_imgs for
+       their own-loss passes),
+     - G's gradients flow THROUGH frozen D/R/W (stop_gradient on those param trees,
+       reference net_architecture.py:543-545),
+     - R trains on real data only (gradients from the CTC-on-real term; the
+       CTC-on-fake term only steers G — reference data_utils.py:454, SURVEY.md
+       defect #5),
+3. obtains all four per-network gradients in a SINGLE backward pass of the summed
+   scalar loss (the cross-terms are exactly zero by construction), and
+4. applies the four optax updates, gating G's update on the `disc_iters` cadence
+   with lax.cond (reference data_utils.py:462-468).
+
+XLA CSEs the duplicated frozen/unfrozen forward evaluations (identical forward
+values, different backward graphs), so the compiled step does each forward once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scrabblegan_tpu.config import Config
+from scrabblegan_tpu.ops.balance import gradient_balance
+from scrabblegan_tpu.ops.ctc import ctc_loss
+from scrabblegan_tpu.ops.losses import get_loss_fn
+from scrabblegan_tpu.train.state import ModelBundle, TrainState, make_optimizers
+
+# The 16 per-step statistics of the reference (train_step return,
+# data_utils.py:470-473 / summary header :254-255).
+METRIC_NAMES = (
+    "d_loss", "d_loss_real", "d_loss_fake",
+    "r_loss_real", "r_loss_fake", "r_loss_balanced",
+    "g_loss", "g_loss_added", "g_loss_balanced", "g_loss_final",
+    "alpha", "r_loss_fake_std", "g_loss_std",
+    "s_loss", "s_loss_real", "s_loss_fake",
+)
+
+_sg = jax.lax.stop_gradient
+
+
+def make_train_step(cfg: Config, models: ModelBundle):
+    """Returns step(state, batch, rng) -> (state, metrics dict of scalars).
+
+    batch keys:
+      real_imgs    (B, 32, 16*Lr, C) float32 in [-1, 1]
+      real_labels  (B, Lr) int32
+      style_imgs   (B, 32, 160, C) float32
+      fake_labels  (B, Lf) int32
+    Shapes are static per (Lr, Lf) pair; the caller jits one specialization per
+    bucket (SURVEY.md §7 "per-bucket jit cache").
+    """
+    loss_fn = get_loss_fn(cfg.optimizer.loss_fn)
+    opts = make_optimizers(cfg)
+    o = cfg.optimizer
+    my_rec = cfg.shared.my_rec
+    z_source = cfg.shared.z_source
+    latent_dim = cfg.shared.latent_dim
+
+    G, D, R, W = (models.generator, models.discriminator, models.recognizer,
+                  models.style_promoter)
+
+    def forward_losses(trainable, state: TrainState, batch, rng):
+        gp, dp, rp, wp = trainable
+        real_imgs = batch["real_imgs"]
+        real_labels = batch["real_labels"]
+        style_imgs = batch["style_imgs"]
+        fake_labels = batch["fake_labels"]
+        bsz = fake_labels.shape[0]
+        len_fake = fake_labels.shape[1]
+        len_real = real_labels.shape[1]
+        rng_noise, rng_drop = jax.random.split(rng)
+
+        # --- G forward (own pass: keep mutated batch stats) ---
+        g_kwargs = {}
+        if z_source == "style":
+            g_kwargs["style_imgs"] = style_imgs
+        else:
+            g_kwargs["z"] = jax.random.normal(rng_noise, (bsz, latent_dim))
+        gen_imgs, g_muts = G.apply(
+            {"params": gp, "batch_stats": state.g_stats},
+            fake_labels, train=True, mutable=["batch_stats"], **g_kwargs,
+        )
+
+        # --- D passes ---
+        d_vars = {"params": dp, "batch_stats": state.d_stats}
+        d_real, d_muts = D.apply(d_vars, real_imgs, True, mutable=["batch_stats"])
+        d_fake_for_d, _ = D.apply(d_vars, _sg(gen_imgs), True, mutable=["batch_stats"])
+        d_fake_for_g, _ = D.apply({"params": _sg(dp), "batch_stats": state.d_stats},
+                                  gen_imgs, True, mutable=["batch_stats"])
+
+        # --- W passes ---
+        w_vars = {"params": wp, "batch_stats": state.w_stats}
+        s_style, w_muts = W.apply(w_vars, style_imgs, True, mutable=["batch_stats"])
+        s_iam, _ = W.apply(w_vars, real_imgs, True, mutable=["batch_stats"])
+        s_gen_for_w, _ = W.apply(w_vars, _sg(gen_imgs), True, mutable=["batch_stats"])
+        s_fake_for_g, _ = W.apply({"params": _sg(wp), "batch_stats": state.w_stats},
+                                  gen_imgs, True, mutable=["batch_stats"])
+
+        # --- R passes (CTC) ---
+        r_vars = {"params": rp, "batch_stats": state.r_stats}
+        # reference length algebra: input_length = 4*len - 1 for BOTH recognizer
+        # variants (data_utils.py:400,413)
+        inp_len_fake = jnp.full((bsz,), 4 * len_fake - 1, jnp.int32)
+        inp_len_real = jnp.full((bsz,), 4 * len_real - 1, jnp.int32)
+        lab_len_fake = jnp.full((bsz,), len_fake, jnp.int32)
+        lab_len_real = jnp.full((bsz,), len_real, jnp.int32)
+
+        r_logits_fake, _ = R.apply({"params": _sg(rp), "batch_stats": state.r_stats},
+                                   gen_imgs, True, mutable=["batch_stats"],
+                                   rngs={"dropout": rng_drop})
+        r_fake = ctc_loss(r_logits_fake, fake_labels, inp_len_fake, lab_len_fake)
+        r_logits_real, r_muts = R.apply(r_vars, real_imgs, True,
+                                        mutable=["batch_stats"],
+                                        rngs={"dropout": rng_drop})
+        r_real = ctc_loss(r_logits_real, real_labels, inp_len_real, lab_len_real)
+
+        # --- adversarial losses ---
+        if o.bug_compatible_style_loss:
+            # reference call-site wiring (SURVEY.md defect #2): W trained
+            # style(1) vs GENERATED(0); G's style term on IAM logits (zero grad)
+            s_neg, s_for_g = s_gen_for_w, _sg(s_iam)
+        else:
+            s_neg, s_for_g = s_iam, s_fake_for_g
+
+        # D-update view (d_fake through D params, G frozen)
+        d_loss, d_loss_real, d_loss_fake, _, s_loss, s_loss_pos, s_loss_neg = loss_fn(
+            d_real, d_fake_for_d, s_style, s_neg, _sg(s_for_g))
+        # G-update view (d_fake/s_fake through G, D/W frozen)
+        _, _, _, g_loss, _, _, _ = loss_fn(
+            _sg(d_real), d_fake_for_g, _sg(s_style), _sg(s_neg), s_for_g)
+
+        # gradient balancing (data_utils.py:421-427,476-490)
+        g_balanced, r_balanced, alpha, r_fake_std, g_loss_std = gradient_balance(
+            r_fake, g_loss, alpha=o.balance_alpha)
+        g_added = g_loss + r_fake
+        g_final = g_balanced if o.apply_gradient_balance else g_added
+
+        total = (jnp.mean(d_loss) + jnp.mean(s_loss) + jnp.mean(r_real)
+                 + jnp.mean(g_final))
+
+        metrics = {
+            "d_loss": jnp.mean(d_loss),
+            "d_loss_real": jnp.mean(d_loss_real),
+            "d_loss_fake": jnp.mean(d_loss_fake),
+            "r_loss_real": jnp.mean(r_real),
+            "r_loss_fake": jnp.mean(r_fake),
+            "r_loss_balanced": jnp.mean(r_balanced),
+            "g_loss": jnp.mean(g_loss),
+            "g_loss_added": jnp.mean(g_added),
+            "g_loss_balanced": jnp.mean(g_balanced),
+            "g_loss_final": jnp.mean(g_final),
+            "alpha": jnp.asarray(alpha, jnp.float32),
+            "r_loss_fake_std": r_fake_std,
+            "g_loss_std": g_loss_std,
+            "s_loss": jnp.mean(s_loss),
+            "s_loss_real": jnp.mean(s_loss_pos),
+            "s_loss_fake": jnp.mean(s_loss_neg),
+        }
+        muts = (g_muts["batch_stats"], d_muts.get("batch_stats", {}),
+                r_muts.get("batch_stats", {}), w_muts.get("batch_stats", {}))
+        return total, (metrics, muts)
+
+    def step(state: TrainState, batch: Dict[str, Any], rng: jax.Array
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        trainable = (state.g_params, state.d_params, state.r_params, state.w_params)
+        grads, (metrics, muts) = jax.grad(forward_losses, has_aux=True)(
+            trainable, state, batch, rng)
+        g_grads, d_grads, r_grads, w_grads = grads
+        g_stats, d_stats, r_stats, w_stats = muts
+
+        d_updates, d_opt = opts["d"].update(d_grads, state.d_opt, state.d_params)
+        d_params = jax.tree.map(lambda p, u: p + u, state.d_params, d_updates)
+        r_updates, r_opt = opts["r"].update(r_grads, state.r_opt, state.r_params)
+        r_params = jax.tree.map(lambda p, u: p + u, state.r_params, r_updates)
+        w_updates, w_opt = opts["w"].update(w_grads, state.w_opt, state.w_params)
+        w_params = jax.tree.map(lambda p, u: p + u, state.w_params, w_updates)
+
+        # G updates every disc_iters-th step (data_utils.py:462)
+        def g_update(_):
+            upd, new_opt = opts["g"].update(g_grads, state.g_opt, state.g_params)
+            return jax.tree.map(lambda p, u: p + u, state.g_params, upd), new_opt
+
+        def g_skip(_):
+            return state.g_params, state.g_opt
+
+        take_g_step = (state.step + 1) % o.disc_iters == 0
+        g_params, g_opt = jax.lax.cond(take_g_step, g_update, g_skip, None)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params, g_stats=g_stats,
+            d_params=d_params, d_stats=d_stats,
+            r_params=r_params, r_stats=r_stats,
+            w_params=w_params, w_stats=w_stats,
+            g_opt=g_opt, d_opt=d_opt, r_opt=r_opt, w_opt=w_opt,
+        )
+        return new_state, metrics
+
+    return step

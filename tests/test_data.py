@@ -1,0 +1,147 @@
+"""Data-interface tests: converter format, bucketed loader semantics, style loader
+geometry, lexicon encoding (SURVEY.md components 3-6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from scrabblegan_tpu.config import CHAR_VECTOR
+from scrabblegan_tpu.data import (
+    BucketedDataset,
+    convert_to_gan_format,
+    decode_label,
+    encode_word,
+    load_random_word_list,
+    load_style_images,
+    make_synthetic_dataset,
+)
+from scrabblegan_tpu.data.iam import parse_iam_words_txt
+from scrabblegan_tpu.data.images import read_grayscale, write_grayscale
+from scrabblegan_tpu.data.loaders import sample_fake_labels
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    read_dir, words_file, style_dir = make_synthetic_dataset(
+        str(root), samples_per_bucket=6, bucket_size=10)
+    return read_dir, words_file, style_dir
+
+
+class TestEncoding:
+    def test_auto_example(self):
+        # reference docstring example (data_utils.py:48-49)
+        assert encode_word("auto") == [0, 20, 19, 14]
+        assert decode_label([0, 20, 19, 14]) == "auto"
+
+    def test_case_sensitivity(self):
+        assert encode_word("A") == [26]
+        assert encode_word("Z") == [51]
+
+
+class TestSyntheticFormat:
+    def test_bucket_layout(self, synth):
+        read_dir, _, _ = synth
+        for b in range(1, 11):
+            files = os.listdir(os.path.join(read_dir, str(b)))
+            pngs = [f for f in files if f.endswith(".png")]
+            txts = [f for f in files if f.endswith(".txt")]
+            assert len(pngs) == len(txts) == 6
+            img = read_grayscale(os.path.join(read_dir, str(b), pngs[0]))
+            assert img.shape == (32, 16 * b)  # 16px per char at 32px height
+
+
+class TestBucketedDataset:
+    def test_shapes_and_range(self, synth):
+        read_dir, _, _ = synth
+        ds = BucketedDataset(read_dir, (32, 160, 1), 10)
+        assert ds.num_samples == 60
+        imgs, labels, bucket = ds.sample_batch(4)
+        assert imgs.shape == (4, 32, 16 * bucket, 1)
+        assert labels.shape == (4, bucket)
+        assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+        assert labels.min() >= 0 and labels.max() < 52
+
+    def test_bucket_weights_follow_population(self, synth):
+        read_dir, _, _ = synth
+        ds = BucketedDataset(read_dir, (32, 160, 1), 10)
+        np.testing.assert_allclose(ds.bucket_weights, [0.1] * 10)
+        assert abs(sum(ds.bucket_weights) - 1.0) < 1e-9
+
+    def test_generator_protocol(self, synth):
+        read_dir, _, _ = synth
+        ds = BucketedDataset(read_dir, (32, 160, 1), 10)
+        gen = ds.batches(3)
+        imgs, labels = next(gen)
+        assert imgs.shape[0] == 3 and labels.shape[0] == 3
+
+
+class TestStyleLoader:
+    def test_geometry_and_split(self, synth):
+        _, _, style_dir = synth
+        train, validate = load_style_images(style_dir, (32, 160, 1))
+        assert len(train) + len(validate) == 12
+        assert len(validate) == 1  # 95/5 split of 12
+        for img in train + validate:
+            assert img.shape == (32, 160)
+            assert img.min() >= -1.0 and img.max() <= 1.0
+
+    def test_white_padding(self, tmp_path):
+        # a 2-char-wide image must be white-padded on the right to 160
+        img = np.zeros((64, 40), np.float32)  # black, tall
+        write_grayscale(str(tmp_path / "s.png"), img)
+        train, _ = load_style_images(str(tmp_path), (32, 160, 1), train_fraction=1.0)
+        out = train[0]
+        assert out.shape == (32, 160)
+        np.testing.assert_allclose(out[:, -10:], 1.0)  # white padding
+        np.testing.assert_allclose(out[:, :10], -1.0)  # black content
+
+
+class TestLexicon:
+    def test_bucketing_and_filtering(self, tmp_path):
+        path = tmp_path / "words.txt"
+        path.write_text("a\nab\nabc\ntoolongwordhere\nbad-char\nAbC\n")
+        buckets = load_random_word_list(str(path), 10)
+        assert [encode_word("a")] == buckets[0]
+        assert len(buckets[1]) == 1
+        assert sorted(map(tuple, buckets[2])) == sorted(
+            [tuple(encode_word("abc")), tuple(encode_word("AbC"))])
+        assert all(len(b) == 0 for b in buckets[3:])
+
+    def test_sample_fake_labels(self, synth):
+        _, words_file, _ = synth
+        buckets = load_random_word_list(words_file, 10)
+        rng = np.random.default_rng(0)
+        labels = sample_fake_labels(rng, buckets, 8, 4)
+        assert labels.shape == (8, 4)
+        assert labels.dtype == np.int32
+
+
+class TestConverter:
+    def test_iam_words_txt_parsing(self, tmp_path):
+        txt = tmp_path / "words.txt"
+        txt.write_text(
+            "# comment line\n"
+            "a01-000u-00-00 ok 154 408 768 27 51 AT A\n"
+            "a01-000u-00-01 err 154 408 768 27 51 AT move\n"
+        )
+        tr = parse_iam_words_txt(str(txt))
+        assert tr["a01-000u-00-00.png"] == "A"
+        assert tr["a01-000u-00-01.png"] == "-1"
+
+    def test_convert_resizes_and_buckets(self, tmp_path):
+        raw = tmp_path / "img" / "a01"
+        raw.mkdir(parents=True)
+        write_grayscale(str(raw / "w1.png"), np.full((50, 90), 128.0))
+        write_grayscale(str(raw / "w2.png"), np.full((40, 200), 128.0))
+        out = tmp_path / "reading"
+        transcriptions = {"w1.png": "cat", "w2.png": "No7"}  # second filtered (digit)
+        n, lengths = convert_to_gan_format(
+            str(tmp_path / "img"), str(out), (32, 160, 1), 10, transcriptions,
+            verbose=False)
+        assert n == 1
+        assert lengths[3] == 1
+        img = read_grayscale(str(out / "3" / "w1.png"))
+        assert img.shape == (32, 48)
+        assert (out / "3" / "w1.txt").read_text() == "cat"

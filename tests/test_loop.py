@@ -1,0 +1,106 @@
+"""End-to-end training-loop tests on the synthetic dataset fixture: a real (tiny)
+Trainer.train() run producing metrics files, sample grids, Orbax checkpoints, a
+generator export — then checkpoint RESUME and the offline plotter."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from scrabblegan_tpu.config import Config, IOConfig, OptimizerConfig, ParallelConfig, SharedSpecs
+from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
+
+B = 4
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("run"))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        optimizer=OptimizerConfig(),
+        shared=dataclasses.replace(SharedSpecs(), batch_size=B, num_gen=4),
+        io=dataclasses.replace(IOConfig(), bucket_size=3),
+        parallel=ParallelConfig(num_devices=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(cfg, workdir, tmp_path_factory):
+    from scrabblegan_tpu.train.loop import Trainer
+
+    data_root = str(tmp_path_factory.mktemp("data"))
+    read_dir, words_file, style_dir = make_synthetic_dataset(
+        data_root, samples_per_bucket=4, bucket_size=3)
+    trainer = Trainer(cfg, workdir=workdir, verbose=False)
+    trainer.load_data(read_dir=read_dir, style_dir=style_dir, words_file=words_file)
+    state = trainer.train(epochs=1, batches_per_epoch=2, resume=False)
+    return trainer, state
+
+
+class TestTrainRun:
+    def test_metrics_files(self, trained, workdir):
+        trainer, _ = trained
+        out = trainer.gen_path
+        for fn in ("batch_summary.txt", "epoch_summary.txt", "batch_summary.csv"):
+            assert os.path.exists(os.path.join(out, fn)), fn
+        lines = open(os.path.join(out, "batch_summary.txt")).read().strip().split("\n")
+        assert len(lines) == 1 + 2  # header + 2 batches
+        assert lines[0].count(";") == 15  # 16 columns
+
+    def test_epoch_grid_and_gif(self, trained):
+        trainer, _ = trained
+        assert os.path.exists(os.path.join(trainer.gen_path, "image_at_epoch_0001.png"))
+        assert os.path.exists(os.path.join(trainer.gen_path, "biggan.gif"))
+
+    def test_generator_export(self, trained):
+        trainer, state = trained
+        from scrabblegan_tpu.train.checkpoint import latest_generator_export, load_generator
+
+        export = latest_generator_export(trainer.model_path)
+        assert export is not None
+        variables = load_generator(export)
+        assert "params" in variables and "batch_stats" in variables
+
+    def test_state_advanced(self, trained):
+        _, state = trained
+        assert int(state.step) == 2
+
+    def test_resume_from_checkpoint(self, trained, cfg, workdir):
+        """Restart must pick up the saved step (fixes SURVEY.md defect #6)."""
+        trainer, state = trained
+        restored = trainer.init_state(resume=True)
+        assert int(restored.step) == int(state.step)
+        leaves_a = [np.asarray(x) for x in
+                    __import__("jax").tree_util.tree_leaves(state.g_params)]
+        leaves_b = [np.asarray(x) for x in
+                    __import__("jax").tree_util.tree_leaves(restored.g_params)]
+        for a, b in zip(leaves_a, leaves_b):
+            np.testing.assert_array_equal(a, b)
+
+    def test_plotter_consumes_loop_output(self, trained):
+        """Fixes SURVEY.md defect #9: utilities must read the loop's own CSV."""
+        trainer, _ = trained
+        from scrabblegan_tpu.utils.plotting import plot_losses
+
+        outs = plot_losses(trainer.gen_path, info_per_batch=True)
+        assert len(outs) == 4
+        for o in outs:
+            assert os.path.exists(o)
+
+    def test_inference_on_export(self, trained, cfg):
+        """infer.py path: word string -> images via the latest export."""
+        trainer, _ = trained
+        import infer
+
+        out_png = os.path.join(trainer.gen_path, "inference_test.png")
+        rc = infer.main([
+            "--model-dir", trainer.model_path, "--word", "ab", "-n", "2",
+            "--out", out_png,
+        ])
+        assert rc == 0
+        assert os.path.exists(out_png)

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Training entry point (parity with reference src/main.py).
+
+Usage:
+  python train.py [--config cfg.json] [--set shared.epochs=2] [--synthetic]
+
+- converts the raw dataset to GAN-Reading format on first run (main.py:61-63),
+- builds data loaders, the four networks, optimizers, and the jitted step,
+- trains with per-epoch sample grids, Orbax checkpoints (with resume), and
+  generator-only exports, then writes the training GIF.
+`--synthetic` fabricates a tiny on-disk dataset first — the zero-download way to
+exercise the full path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="dotted config override, e.g. optimizer.g_lr=1e-4")
+    p.add_argument("--workdir", default=None, help="output root (default io.base_path)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batches-per-epoch", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate and train on a synthetic dataset fixture")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from scrabblegan_tpu.config import load_config
+    overrides = dict(kv.split("=", 1) for kv in args.set)
+    cfg = load_config(args.config, overrides)
+
+    from scrabblegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from scrabblegan_tpu.train.loop import Trainer
+
+    trainer = Trainer(cfg, workdir=args.workdir)
+
+    if args.synthetic:
+        from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
+
+        root = os.path.join(args.workdir or cfg.io.base_path, "synthetic_data")
+        read_dir, words_file, style_dir = make_synthetic_dataset(root)
+        trainer.load_data(read_dir=read_dir, style_dir=style_dir,
+                          words_file=words_file)
+    else:
+        if not os.path.exists(cfg.io.read_dir):
+            print("converting dataset to GAN-Reading format...")
+            from scrabblegan_tpu.data.iam import init_reading
+
+            init_reading(cfg.io.raw_dir, cfg.io.read_dir, cfg.io.input_dim,
+                         cfg.io.bucket_size)
+        trainer.load_data()
+
+    trainer.train(epochs=args.epochs, batches_per_epoch=args.batches_per_epoch,
+                  resume=not args.no_resume)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
