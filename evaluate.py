@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Quality evaluation entry point: rFID (Fréchet distance over recognizer
+features) between generator samples and real data, plus recognizer CER.
+
+Usage:
+  python evaluate.py --workdir runs/demo [--synthetic-root runs/demo/synthetic_data]
+      [--num-samples 256] [--bucket 5] [--set io.bucket_size=3] ...
+
+Loads the latest full train-state checkpoint from <workdir>/checkpoints, draws
+real batches from the bucketed dataset, generates matching fake batches, and
+prints one JSON line: {"rfid": ..., "cer_real": ..., "num_samples": ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--read-dir", default=None, help="bucketed dataset dir")
+    p.add_argument("--style-dir", default=None)
+    p.add_argument("--words-file", default=None)
+    p.add_argument("--num-samples", type=int, default=256)
+    p.add_argument("--bucket", type=int, default=None,
+                   help="word-length bucket to evaluate (default: most populated)")
+    p.add_argument("--config", default=None)
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from scrabblegan_tpu.config import load_config
+    from scrabblegan_tpu.eval import (
+        character_error_rate,
+        compute_rfid,
+        greedy_ctc_decode,
+        recognizer_features,
+    )
+    from scrabblegan_tpu.train.loop import Trainer
+    from scrabblegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    overrides = dict(kv.split("=", 1) for kv in args.set)
+    cfg = load_config(args.config, overrides)
+
+    trainer = Trainer(cfg, workdir=args.workdir, verbose=False)
+    default_root = os.path.join(args.workdir, "synthetic_data")
+    if args.read_dir is None and os.path.isdir(default_root):
+        trainer.load_data(
+            read_dir=os.path.join(default_root, "words-Reading"),
+            style_dir=os.path.join(default_root, "style_imgs"),
+            words_file=os.path.join(default_root, "random_words.txt"))
+    else:
+        trainer.load_data(read_dir=args.read_dir, style_dir=args.style_dir,
+                          words_file=args.words_file)
+    state = trainer.init_state(resume=True)
+    if int(jax.device_get(state.step)) == 0:
+        print(json.dumps({"error": "no checkpoint found in workdir"}))
+        return 1
+
+    ds = trainer.dataset
+    bucket = args.bucket or max(ds.nonempty, key=lambda b: len(ds.labels[b]))
+    n = args.num_samples
+    bsz = cfg.shared.batch_size
+
+    real_imgs, real_labels = [], []
+    gen_imgs, gen_labels = [], []
+    np_rng = np.random.default_rng(cfg.seed + 42)
+    from scrabblegan_tpu.data.loaders import sample_fake_labels
+
+    while sum(len(x) for x in real_imgs) < n:
+        imgs, labels, _ = ds.sample_batch(bsz, bucket=bucket)
+        real_imgs.append(imgs)
+        real_labels.append(labels)
+        fake = sample_fake_labels(np_rng, trainer.random_words, bsz, bucket)
+        style_idx = np_rng.integers(0, len(trainer.style_train), size=bsz)
+        style = np.stack([trainer.style_train[i] for i in style_idx])[..., None]
+        out = trainer.generate(state, fake, style_imgs=style.astype(np.float32),
+                               z=np.asarray(
+                                   jax.random.normal(jax.random.PRNGKey(len(gen_imgs)),
+                                                     (bsz, cfg.shared.latent_dim))))
+        gen_imgs.append(np.asarray(out, np.float32))
+        gen_labels.append(fake)
+
+    real_imgs = np.concatenate(real_imgs)[:n]
+    gen_imgs = np.concatenate(gen_imgs)[:n]
+    real_labels = np.concatenate(real_labels)[:n]
+
+    extractor = recognizer_features(trainer.models.recognizer,
+                                    state.r_params, state.r_stats)
+    rfid = compute_rfid(gen_imgs, real_imgs, extractor, batch_size=bsz)
+
+    # recognizer CER on real data (greedy decode)
+    rec = trainer.models.recognizer
+    logits = np.asarray(rec.apply(
+        {"params": state.r_params, "batch_stats": state.r_stats},
+        real_imgs, train=False))
+    lengths = np.full((len(real_imgs),), 4 * bucket - 1, np.int32)
+    preds = greedy_ctc_decode(logits, lengths)
+    cer = character_error_rate(preds, [list(l) for l in real_labels])
+
+    print(json.dumps({
+        "rfid": round(rfid, 4),
+        "cer_real": round(cer, 4),
+        "bucket": bucket,
+        "num_samples": int(n),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

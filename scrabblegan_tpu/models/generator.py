@@ -78,12 +78,19 @@ class Generator(nn.Module):
     img_height: int = 32
     use_sn: bool = True
     use_pallas_attention: bool = False
+    # 'padded' shape mode: one extra filter-bank row serves as the PAD token
+    # (id == vocab_size) so every batch can be label-padded to a single static
+    # length; pass `lengths` to whiten the image beyond 16*len px.
+    num_pad_tokens: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, labels, style_imgs=None, z: Optional[jnp.ndarray] = None,
-                 train: bool = True):
-        """labels: (B, L) int32 char ids; returns (B, 32, 16L, C) images in [-1, 1]."""
+                 lengths: Optional[jnp.ndarray] = None, train: bool = True):
+        """labels: (B, L) int32 char ids; returns (B, 32, 16L, C) images in [-1, 1].
+
+        lengths: optional (B,) true word lengths ('padded' mode) — output columns
+        at or beyond 16*len are forced to white (+1)."""
         in_channels, out_channels = gen_channels(self.img_height)
         num_blocks = len(out_channels)
         seed_hw = self.img_height // 2 ** num_blocks  # 4
@@ -103,8 +110,8 @@ class Generator(nn.Module):
         z0, z_per_block = chunks[0], chunks[1:]
 
         # filter bank contraction: per char, z0(32) @ patch(32, 8192) -> 8192
-        se = FilterBank(self.vocab_size, self.embed_y, dtype=self.dtype,
-                        name="filter_bank")(labels)  # (B, L, 32, 8192)
+        se = FilterBank(self.vocab_size + self.num_pad_tokens, self.embed_y,
+                        dtype=self.dtype, name="filter_bank")(labels)  # (B, L, 32, 8192)
         net = jnp.einsum("bk,blkd->bld", z0, se, preferred_element_type=jnp.float32)
         net = net.astype(self.dtype)
 
@@ -131,4 +138,10 @@ class Generator(nn.Module):
         net = nn.relu(net)
         net = SNConv(self.img_channels, (3, 3), use_sn=self.use_sn, dtype=self.dtype,
                      name="to_image")(net, train)
-        return jnp.tanh(net).astype(self.dtype)
+        out = jnp.tanh(net).astype(self.dtype)
+        if lengths is not None:
+            width = out.shape[2]
+            cols = jnp.arange(width)[None, None, :, None]
+            valid = cols < (16 * lengths.astype(jnp.int32))[:, None, None, None]
+            out = jnp.where(valid, out, jnp.asarray(1.0, out.dtype))  # white pad
+        return out

@@ -39,7 +39,9 @@ class Recognizer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, return_features: bool = False):
+        """return_features=True: per-image pooled 512-d conv features instead of
+        frame logits (used by the rFID quality metric, scrabblegan_tpu.eval.fid)."""
         conv = lambda f, k, name, pad="SAME": nn.Conv(
             f, k, padding=pad, dtype=self.dtype, name=name
         )
@@ -58,6 +60,8 @@ class Recognizer(nn.Module):
         net = nn.max_pool(net, (2, 1), strides=(2, 1))
         net = nn.relu(conv(512, (2, 2), "conv7", pad="VALID")(net))
         net = jnp.squeeze(net, axis=1)  # (B, T, 512), height 2 -> 1
+        if return_features:
+            return jnp.mean(net, axis=1).astype(jnp.float32)  # (B, 512)
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="frame_logits")(net)
         return logits.astype(jnp.float32)
 

@@ -124,7 +124,38 @@ class Trainer:
             "style_imgs": style_imgs.astype(np.float32),
             "fake_labels": fake_labels,
         }
+        if cfg.parallel.shape_mode == "padded":
+            batch = self._pad_batch(batch, bucket, fake_bucket)
         return jax.device_put(batch, self._bsh)
+
+    def _pad_batch(self, batch, real_len: int, fake_len: int):
+        """'padded' mode: white-pad images to max width, pad labels with the pad
+        id (n_classes), and attach true lengths — one static shape per epoch."""
+        cfg = self.cfg
+        l_max = cfg.io.bucket_size
+        w_max = (cfg.io.input_dim[0] // 2) * l_max
+        bsz = batch["real_labels"].shape[0]
+        pad_id = cfg.io.n_classes
+
+        def pad_imgs(imgs):
+            pad_w = w_max - imgs.shape[2]
+            if pad_w <= 0:
+                return imgs
+            return np.pad(imgs, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
+                          constant_values=1.0)  # white in [-1, 1]
+
+        def pad_labels(labels):
+            pad_l = l_max - labels.shape[1]
+            if pad_l <= 0:
+                return labels
+            return np.pad(labels, ((0, 0), (0, pad_l)), constant_values=pad_id)
+
+        batch["real_imgs"] = pad_imgs(batch["real_imgs"])
+        batch["real_labels"] = pad_labels(batch["real_labels"])
+        batch["fake_labels"] = pad_labels(batch["fake_labels"])
+        batch["real_lengths"] = np.full((bsz,), real_len, np.int32)
+        batch["fake_lengths"] = np.full((bsz,), fake_len, np.int32)
+        return batch
 
     # ------------------------------------------------------------------ train
     def train(self, epochs: Optional[int] = None,
@@ -149,22 +180,39 @@ class Trainer:
             print(f"devices:               {len(self.mesh.devices.flat)}")
             print("training...")
 
+        log_every = max(1, batches_per_epoch // 10)
+
+        def flush_pending(pending):
+            """Fetch a previous step's (tiny) metrics and log them — called one
+            step late so the device is never idle waiting on the host."""
+            e_idx, b_idx, m = pending
+            m = jax.device_get(m)
+            writer.write_batch(e_idx, b_idx, m)
+            if self.verbose and (b_idx + 1) % log_every == 0:
+                print(
+                    f">{e_idx + 1}, {b_idx + 1}/{batches_per_epoch}, "
+                    f"d={m['d_loss']:.3f}, d_real={m['d_loss_real']:.3f}, "
+                    f"d_fake={m['d_loss_fake']:.3f}, g_trad={m['g_loss']:.3f}, "
+                    f"r_loss_fake={m['r_loss_fake']:.3f}, "
+                    f"g_loss={m['g_loss_final']:.3f}, "
+                    f"r={m['r_loss_real']:.3f}, s={m['s_loss_real']:.3f}")
+
         for epoch_idx in range(start_epoch, epochs):
             t0 = time.time()
+            pending = None
+            next_batch = self.next_batch()
             for batch_idx in range(batches_per_epoch):
-                batch = self.next_batch()
+                batch = next_batch
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = self.step_fn(state, batch, step_rng)
-                metrics = jax.device_get(metrics)
-                writer.write_batch(epoch_idx, batch_idx, metrics)
-                if self.verbose and (batch_idx + 1) % max(1, batches_per_epoch // 10) == 0:
-                    print(
-                        f">{epoch_idx + 1}, {batch_idx + 1}/{batches_per_epoch}, "
-                        f"d={metrics['d_loss']:.3f}, d_real={metrics['d_loss_real']:.3f}, "
-                        f"d_fake={metrics['d_loss_fake']:.3f}, g_trad={metrics['g_loss']:.3f}, "
-                        f"r_loss_fake={metrics['r_loss_fake']:.3f}, "
-                        f"g_loss={metrics['g_loss_final']:.3f}, "
-                        f"r={metrics['r_loss_real']:.3f}, s={metrics['s_loss_real']:.3f}")
+                # host-side work for step N+1 overlaps the device's step N
+                if batch_idx + 1 < batches_per_epoch:
+                    next_batch = self.next_batch()
+                if pending is not None:
+                    flush_pending(pending)
+                pending = (epoch_idx, batch_idx, metrics)
+            if pending is not None:
+                flush_pending(pending)
             writer.end_epoch()
 
             jax.block_until_ready(state)

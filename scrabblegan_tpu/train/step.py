@@ -67,6 +67,7 @@ def make_train_step(cfg: Config, models: ModelBundle):
     my_rec = cfg.shared.my_rec
     z_source = cfg.shared.z_source
     latent_dim = cfg.shared.latent_dim
+    padded = cfg.parallel.shape_mode == "padded"
 
     G, D, R, W = (models.generator, models.discriminator, models.recognizer,
                   models.style_promoter)
@@ -78,9 +79,23 @@ def make_train_step(cfg: Config, models: ModelBundle):
         style_imgs = batch["style_imgs"]
         fake_labels = batch["fake_labels"]
         bsz = fake_labels.shape[0]
-        len_fake = fake_labels.shape[1]
-        len_real = real_labels.shape[1]
         rng_noise, rng_drop = jax.random.split(rng)
+
+        if padded:
+            # 'padded' mode: every batch is one static max shape; true lengths
+            # travel with the batch and drive width masks + CTC lengths
+            real_lengths = batch["real_lengths"].astype(jnp.int32)
+            fake_lengths = batch["fake_lengths"].astype(jnp.int32)
+            feat_w_real = real_imgs.shape[2] // 8  # D/W trunk pools /2 three times
+            cols_real = jnp.arange(feat_w_real)[None, :]
+            mask_real = (cols_real < 2 * real_lengths[:, None]).astype(jnp.float32)
+            feat_w_fake = feat_w_real  # gen canvas padded to the same max width
+            mask_fake = (jnp.arange(feat_w_fake)[None, :]
+                         < 2 * fake_lengths[:, None]).astype(jnp.float32)
+        else:
+            real_lengths = jnp.full((bsz,), real_labels.shape[1], jnp.int32)
+            fake_lengths = jnp.full((bsz,), fake_labels.shape[1], jnp.int32)
+            mask_real = mask_fake = None
 
         # --- G forward (own pass: keep mutated batch stats) ---
         g_kwargs = {}
@@ -88,6 +103,8 @@ def make_train_step(cfg: Config, models: ModelBundle):
             g_kwargs["style_imgs"] = style_imgs
         else:
             g_kwargs["z"] = jax.random.normal(rng_noise, (bsz, latent_dim))
+        if padded:
+            g_kwargs["lengths"] = fake_lengths
         gen_imgs, g_muts = G.apply(
             {"params": gp, "batch_stats": state.g_stats},
             fake_labels, train=True, mutable=["batch_stats"], **g_kwargs,
@@ -95,27 +112,33 @@ def make_train_step(cfg: Config, models: ModelBundle):
 
         # --- D passes ---
         d_vars = {"params": dp, "batch_stats": state.d_stats}
-        d_real, d_muts = D.apply(d_vars, real_imgs, True, mutable=["batch_stats"])
-        d_fake_for_d, _ = D.apply(d_vars, _sg(gen_imgs), True, mutable=["batch_stats"])
+        d_real, d_muts = D.apply(d_vars, real_imgs, True, width_mask=mask_real,
+                                 mutable=["batch_stats"])
+        d_fake_for_d, _ = D.apply(d_vars, _sg(gen_imgs), True, width_mask=mask_fake,
+                                  mutable=["batch_stats"])
         d_fake_for_g, _ = D.apply({"params": _sg(dp), "batch_stats": state.d_stats},
-                                  gen_imgs, True, mutable=["batch_stats"])
+                                  gen_imgs, True, width_mask=mask_fake,
+                                  mutable=["batch_stats"])
 
         # --- W passes ---
         w_vars = {"params": wp, "batch_stats": state.w_stats}
         s_style, w_muts = W.apply(w_vars, style_imgs, True, mutable=["batch_stats"])
-        s_iam, _ = W.apply(w_vars, real_imgs, True, mutable=["batch_stats"])
-        s_gen_for_w, _ = W.apply(w_vars, _sg(gen_imgs), True, mutable=["batch_stats"])
+        s_iam, _ = W.apply(w_vars, real_imgs, True, width_mask=mask_real,
+                           mutable=["batch_stats"])
+        s_gen_for_w, _ = W.apply(w_vars, _sg(gen_imgs), True, width_mask=mask_fake,
+                                 mutable=["batch_stats"])
         s_fake_for_g, _ = W.apply({"params": _sg(wp), "batch_stats": state.w_stats},
-                                  gen_imgs, True, mutable=["batch_stats"])
+                                  gen_imgs, True, width_mask=mask_fake,
+                                  mutable=["batch_stats"])
 
         # --- R passes (CTC) ---
         r_vars = {"params": rp, "batch_stats": state.r_stats}
         # reference length algebra: input_length = 4*len - 1 for BOTH recognizer
         # variants (data_utils.py:400,413)
-        inp_len_fake = jnp.full((bsz,), 4 * len_fake - 1, jnp.int32)
-        inp_len_real = jnp.full((bsz,), 4 * len_real - 1, jnp.int32)
-        lab_len_fake = jnp.full((bsz,), len_fake, jnp.int32)
-        lab_len_real = jnp.full((bsz,), len_real, jnp.int32)
+        inp_len_fake = 4 * fake_lengths - 1
+        inp_len_real = 4 * real_lengths - 1
+        lab_len_fake = fake_lengths
+        lab_len_real = real_lengths
 
         r_logits_fake, _ = R.apply({"params": _sg(rp), "batch_stats": state.r_stats},
                                    gen_imgs, True, mutable=["batch_stats"],

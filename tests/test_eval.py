@@ -1,0 +1,80 @@
+"""Evaluation subsystem tests: Fréchet distance math, recognizer features,
+greedy CTC decode, CER."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scrabblegan_tpu.eval import (
+    character_error_rate,
+    compute_rfid,
+    frechet_distance,
+    greedy_ctc_decode,
+    recognizer_features,
+)
+from scrabblegan_tpu.eval.decode import levenshtein
+from scrabblegan_tpu.models import Recognizer
+
+
+class TestFrechet:
+    def test_identical_sets_zero(self):
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((500, 8))
+        assert abs(frechet_distance(a, a.copy())) < 1e-6
+
+    def test_mean_shift(self):
+        """For equal covariance, FID ~= |mu_a - mu_b|^2."""
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((20000, 4))
+        b = rng.standard_normal((20000, 4)) + np.array([2.0, 0, 0, 0])
+        fid = frechet_distance(a, b)
+        assert 3.5 < fid < 4.6
+
+    def test_monotone_in_separation(self):
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((2000, 6))
+        near = frechet_distance(a, rng.standard_normal((2000, 6)) + 0.5)
+        far = frechet_distance(a, rng.standard_normal((2000, 6)) + 3.0)
+        assert far > near
+
+
+class TestRecognizerFeatures:
+    def test_extractor_shape_and_rfid(self):
+        rec = Recognizer(num_classes=53)
+        x = jnp.zeros((4, 32, 64, 1))
+        v = rec.init({"params": jax.random.PRNGKey(0)}, x, True)
+        extractor = recognizer_features(rec, v["params"],
+                                        v.get("batch_stats", {}))
+        rng = np.random.default_rng(0)
+        real = rng.uniform(-1, 1, (16, 32, 64, 1)).astype(np.float32)
+        feats = extractor(real)
+        assert feats.shape == (16, 512)
+        fid_same = compute_rfid(real, real.copy(), extractor, batch_size=8)
+        assert abs(fid_same) < 1e-4
+        fake = np.ones_like(real)  # blank pages vs noise: should be far
+        fid_diff = compute_rfid(fake, real, extractor, batch_size=8)
+        assert fid_diff > fid_same + 1e-3
+
+
+class TestDecode:
+    def test_collapse_and_blank(self):
+        # K=4 (blank=3); frames: a a blank a b b -> "a a b" collapsed to [0,0,1]
+        frames = [0, 0, 3, 0, 1, 1]
+        logits = np.full((1, 6, 4), -10.0, np.float32)
+        for t, f in enumerate(frames):
+            logits[0, t, f] = 10.0
+        out = greedy_ctc_decode(logits)
+        assert out == [[0, 0, 1]]
+
+    def test_length_mask(self):
+        logits = np.full((1, 5, 3), -10.0, np.float32)
+        for t in range(5):
+            logits[0, t, 0] = 10.0
+        assert greedy_ctc_decode(logits, np.array([3])) == [[0]]
+
+    def test_cer(self):
+        assert levenshtein("kitten", "sitting") == 3
+        cer = character_error_rate([[0, 1, 2]], [[0, 1, 3]])
+        assert abs(cer - 1 / 3) < 1e-9
+        assert character_error_rate([[0]], [[0]]) == 0.0
