@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
+    from scrabblegan_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     import jax
 
     from scrabblegan_tpu.config import load_config

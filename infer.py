@@ -39,6 +39,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from scrabblegan_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     import jax
 
     from scrabblegan_tpu.config import load_config

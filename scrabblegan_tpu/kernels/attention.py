@@ -50,21 +50,11 @@ def _xla_attention(theta, phi, g):
     )
 
 
-@functools.partial(jax.jit, static_argnames=())
-def nonlocal_attention(theta, phi, g):
-    """theta: (B, Q, Ca); phi: (B, K, Ca); g: (B, K, Cg) -> (B, Q, Cg).
-
-    Non-scaled dot-product attention with softmax over K, matching the reference's
-    NonLocalBlock math (arch_ops.py:51-61: softmax(theta phi^T) g, no 1/sqrt(d))."""
+def _pallas_forward(theta, phi, g):
     b, q, ca = theta.shape
     k = phi.shape[1]
     cg = g.shape[2]
-
     q_block = 256 if q % 256 == 0 else (128 if q % 128 == 0 else q)
-    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
-    if not _HAS_PLTPU or not on_tpu or q % q_block != 0:
-        return _xla_attention(theta, phi, g)
-
     grid = (b, q // q_block)
     return pl.pallas_call(
         _attention_kernel,
@@ -77,3 +67,53 @@ def nonlocal_attention(theta, phi, g):
         ],
         out_specs=pl.BlockSpec((1, q_block, cg), lambda i, j: (i, j, 0)),
     )(theta, phi, g)
+
+
+@jax.custom_vjp
+def _attention_op(theta, phi, g):
+    return _pallas_forward(theta, phi, g)
+
+
+def _attention_fwd(theta, phi, g):
+    return _pallas_forward(theta, phi, g), (theta, phi, g)
+
+
+def _attention_bwd(residuals, d_out):
+    """Backward pass: recompute attention weights via the XLA path and
+    differentiate analytically. The fused forward never materialized the (Q, K)
+    attention matrix; the backward pays for it once — exactly the
+    recompute-over-store tradeoff of flash attention."""
+    theta, phi, g = residuals
+    scores = jnp.einsum("bqc,bkc->bqk", theta, phi,
+                        preferred_element_type=jnp.float32).astype(jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1)
+    d_out32 = d_out.astype(jnp.float32)
+    g32 = g.astype(jnp.float32)
+
+    d_g = jnp.einsum("bqk,bqc->bkc", attn, d_out32)
+    d_attn = jnp.einsum("bqc,bkc->bqk", d_out32, g32)
+    # softmax VJP: dS = A * (dA - sum_k(A * dA))
+    d_scores = attn * (d_attn - jnp.sum(attn * d_attn, axis=-1, keepdims=True))
+    d_theta = jnp.einsum("bqk,bkc->bqc", d_scores, phi.astype(jnp.float32))
+    d_phi = jnp.einsum("bqk,bqc->bkc", d_scores, theta.astype(jnp.float32))
+    return (d_theta.astype(theta.dtype), d_phi.astype(phi.dtype),
+            d_g.astype(g.dtype))
+
+
+_attention_op.defvjp(_attention_fwd, _attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def nonlocal_attention(theta, phi, g):
+    """theta: (B, Q, Ca); phi: (B, K, Ca); g: (B, K, Cg) -> (B, Q, Cg).
+
+    Non-scaled dot-product attention with softmax over K, matching the reference's
+    NonLocalBlock math (arch_ops.py:51-61: softmax(theta phi^T) g, no 1/sqrt(d)).
+    Differentiable: the fused Pallas forward carries a custom VJP whose backward
+    recomputes the attention weights in XLA."""
+    q = theta.shape[1]
+    q_block = 256 if q % 256 == 0 else (128 if q % 128 == 0 else q)
+    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    if not _HAS_PLTPU or not on_tpu or q % q_block != 0:
+        return _xla_attention(theta, phi, g)
+    return _attention_op(theta, phi, g)

@@ -26,6 +26,34 @@ class TestNonlocalAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                    atol=1e-5)
 
+    def test_gradients_match_xla_path(self):
+        """The custom VJP must agree with autodiff through the einsum path
+        (on CPU both route to XLA, but the VJP rule itself is exercised)."""
+        from scrabblegan_tpu.kernels.attention import _attention_op
+
+        theta = _rand(6, (1, 128, 8))
+        phi = _rand(7, (1, 32, 8))
+        g = _rand(8, (1, 32, 16))
+
+        def loss_custom(t, p, gg):
+            return jnp.sum(jnp.sin(_attention_op(t, p, gg)))
+
+        def loss_ref(t, p, gg):
+            return jnp.sum(jnp.sin(_xla_attention(t, p, gg)))
+
+        # _attention_op's forward uses pallas_call, which doesn't run on CPU —
+        # check the VJP rule by comparing grads of the REF forward with the
+        # custom backward applied to the same cotangents.
+        from scrabblegan_tpu.kernels.attention import _attention_bwd
+
+        out, vjp_ref = jax.vjp(_xla_attention, theta, phi, g)
+        d_out = jnp.cos(out)  # d sum(sin(out)) / d out
+        ref_grads = vjp_ref(d_out)
+        custom_grads = _attention_bwd((theta, phi, g), d_out)
+        for a, b in zip(custom_grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                       atol=2e-5)
+
     def test_rows_are_convex_combinations(self):
         """softmax attention output must lie within [min(g), max(g)] per channel."""
         theta = _rand(3, (1, 256, 8))

@@ -35,6 +35,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from scrabblegan_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
     from scrabblegan_tpu.config import load_config
     overrides = dict(kv.split("=", 1) for kv in args.set)
     cfg = load_config(args.config, overrides)
