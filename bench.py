@@ -43,6 +43,9 @@ def main():
 
     from scrabblegan_tpu.config import Config, SharedSpecs
     from scrabblegan_tpu.train.state import build_models
+    from scrabblegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     batch, length = 1024, 5
     cfg = Config(shared=dataclasses.replace(

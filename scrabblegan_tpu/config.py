@@ -58,6 +58,14 @@ class SharedSpecs:
     # Computation dtype for the model forward/backward ('float32' | 'bfloat16').
     # Params are always float32.
     dtype: str = "float32"
+    # Fused Pallas attention kernel (kernels/attention.py): ~2x generator
+    # inference and +13% train step on TPU; transparently falls back to the
+    # pure-XLA path off-TPU or on non-tileable shapes.
+    use_pallas_attention: bool = True
+    # Rematerialize the generator forward in the backward pass
+    # (jax.checkpoint): trades ~1 extra G forward for not storing its
+    # activations — enables much larger batches.
+    remat: bool = False
 
 
 @dataclass(frozen=True)

@@ -54,10 +54,12 @@ class TrainState(struct.PyTreeNode):
     w_opt: Any
 
 
-def build_models(cfg: Config, use_pallas_attention: bool = False) -> ModelBundle:
+def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> ModelBundle:
     dtype = jnp.bfloat16 if cfg.shared.dtype == "bfloat16" else jnp.float32
     use_sn = cfg.shared.kernel_reg == "spectral_norm"
     h, _, c = cfg.io.input_dim
+    if use_pallas_attention is None:
+        use_pallas_attention = cfg.shared.use_pallas_attention
 
     generator = Generator(
         vocab_size=cfg.io.n_classes,

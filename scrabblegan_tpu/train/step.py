@@ -98,17 +98,20 @@ def make_train_step(cfg: Config, models: ModelBundle):
             mask_real = mask_fake = None
 
         # --- G forward (own pass: keep mutated batch stats) ---
-        g_kwargs = {}
-        if z_source == "style":
-            g_kwargs["style_imgs"] = style_imgs
-        else:
-            g_kwargs["z"] = jax.random.normal(rng_noise, (bsz, latent_dim))
-        if padded:
-            g_kwargs["lengths"] = fake_lengths
-        gen_imgs, g_muts = G.apply(
-            {"params": gp, "batch_stats": state.g_stats},
-            fake_labels, train=True, mutable=["batch_stats"], **g_kwargs,
-        )
+        def g_forward(g_params, g_stats, labels, cond, lengths):
+            kw = {"style_imgs": cond} if z_source == "style" else {"z": cond}
+            if lengths is not None:
+                kw["lengths"] = lengths
+            return G.apply({"params": g_params, "batch_stats": g_stats},
+                           labels, train=True, mutable=["batch_stats"], **kw)
+
+        if cfg.shared.remat:
+            # rematerialize G's activations in the backward pass (memory lever)
+            g_forward = jax.checkpoint(g_forward)
+        cond = style_imgs if z_source == "style" else jax.random.normal(
+            rng_noise, (bsz, latent_dim))
+        gen_imgs, g_muts = g_forward(gp, state.g_stats, fake_labels, cond,
+                                     fake_lengths if padded else None)
 
         # --- D passes ---
         d_vars = {"params": dp, "batch_stats": state.d_stats}
