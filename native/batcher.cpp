@@ -18,15 +18,15 @@
 
 namespace {
 
-constexpr float kScale = 1.0f / 127.5f;
-
 void gather_range(const uint8_t* imgs, const int64_t* indices, int64_t start,
                   int64_t end, int64_t sample_elems, float* out) {
   for (int64_t i = start; i < end; ++i) {
     const uint8_t* src = imgs + indices[i] * sample_elems;
     float* dst = out + i * sample_elems;
     for (int64_t j = 0; j < sample_elems; ++j) {
-      dst[j] = static_cast<float>(src[j]) * kScale - 1.0f;
+      // exact division (not reciprocal multiply): x=255 must map to exactly
+      // +1.0 so downstream [-1, 1] range checks hold bit-for-bit vs numpy
+      dst[j] = (static_cast<float>(src[j]) - 127.5f) / 127.5f;
     }
   }
 }

@@ -66,6 +66,10 @@ class SharedSpecs:
     # (jax.checkpoint): trades ~1 extra G forward for not storing its
     # activations — enables much larger batches.
     remat: bool = False
+    # Ablations (BASELINE.json config 2: G+D adversarial-only training):
+    # disable the recognizer CTC path and/or the style-promoter adversary.
+    use_recognizer: bool = True
+    use_style_promoter: bool = True
 
 
 @dataclass(frozen=True)

@@ -30,6 +30,37 @@ def _sce_zeros(logits):
     return optax.sigmoid_binary_cross_entropy(logits, jnp.zeros_like(logits))
 
 
+# ---------------------------------------------------------------- decomposed
+# Both adversaries (D and the style promoter W) use the same real-vs-fake loss
+# form; the generator term composes per adversary. The decomposition lets the
+# train step ablate networks (G+D-only training, BASELINE.json config 2)
+# without polluting the remaining terms.
+
+def hinge_disc(real, fake):
+    """-> (loss, real_term, fake_term), per-sample."""
+    real_term = jnp.maximum(0.0, 1.0 - real)
+    fake_term = jnp.maximum(0.0, 1.0 + fake)
+    return real_term + fake_term, real_term, fake_term
+
+
+def hinge_gen(fake):
+    return -fake
+
+
+def not_saturating_disc(real, fake):
+    real_term = _sce_ones(real)
+    fake_term = _sce_zeros(fake)
+    return real_term + fake_term, real_term, fake_term
+
+
+def not_saturating_gen(fake):
+    return _sce_ones(fake)
+
+
+DISC_LOSS_REGISTRY = {"hinge": hinge_disc, "not_saturating": not_saturating_disc}
+GEN_LOSS_REGISTRY = {"hinge": hinge_gen, "not_saturating": not_saturating_gen}
+
+
 def hinge(d_real, d_fake, s_pos, s_neg, s_for_g):
     """Hinge GAN loss (net_loss.py:38-54, extended to the intended 5-logit form).
 
@@ -40,29 +71,17 @@ def hinge(d_real, d_fake, s_pos, s_neg, s_for_g):
     s_for_g: style-promoter logits through which G's style term flows
              (generated images intended; IAM logits — zero grad — in bug mode).
     """
-    d_loss_real = jnp.maximum(0.0, 1.0 - d_real)
-    d_loss_fake = jnp.maximum(0.0, 1.0 + d_fake)
-    d_loss = d_loss_real + d_loss_fake
-
-    s_loss_pos = jnp.maximum(0.0, 1.0 - s_pos)
-    s_loss_neg = jnp.maximum(0.0, 1.0 + s_neg)
-    s_loss = s_loss_pos + s_loss_neg
-
-    g_loss = -(d_fake + s_for_g)
+    d_loss, d_loss_real, d_loss_fake = hinge_disc(d_real, d_fake)
+    s_loss, s_loss_pos, s_loss_neg = hinge_disc(s_pos, s_neg)
+    g_loss = hinge_gen(d_fake) + hinge_gen(s_for_g)
     return d_loss, d_loss_real, d_loss_fake, g_loss, s_loss, s_loss_pos, s_loss_neg
 
 
 def not_saturating(d_real, d_fake, s_pos, s_neg, s_for_g):
     """Non-saturating (sigmoid cross-entropy) GAN loss (net_loss.py:4-35)."""
-    d_loss_real = _sce_ones(d_real)
-    d_loss_fake = _sce_zeros(d_fake)
-    d_loss = d_loss_real + d_loss_fake
-
-    s_loss_pos = _sce_ones(s_pos)
-    s_loss_neg = _sce_zeros(s_neg)
-    s_loss = s_loss_pos + s_loss_neg
-
-    g_loss = _sce_ones(d_fake) + _sce_ones(s_for_g)
+    d_loss, d_loss_real, d_loss_fake = not_saturating_disc(d_real, d_fake)
+    s_loss, s_loss_pos, s_loss_neg = not_saturating_disc(s_pos, s_neg)
+    g_loss = not_saturating_gen(d_fake) + not_saturating_gen(s_for_g)
     return d_loss, d_loss_real, d_loss_fake, g_loss, s_loss, s_loss_pos, s_loss_neg
 
 

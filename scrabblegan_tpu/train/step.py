@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from scrabblegan_tpu.config import Config
 from scrabblegan_tpu.ops.balance import gradient_balance
 from scrabblegan_tpu.ops.ctc import ctc_loss
-from scrabblegan_tpu.ops.losses import get_loss_fn
+from scrabblegan_tpu.ops.losses import DISC_LOSS_REGISTRY, GEN_LOSS_REGISTRY
 from scrabblegan_tpu.train.state import ModelBundle, TrainState, make_optimizers
 
 # The 16 per-step statistics of the reference (train_step return,
@@ -61,13 +61,16 @@ def make_train_step(cfg: Config, models: ModelBundle):
     Shapes are static per (Lr, Lf) pair; the caller jits one specialization per
     bucket (SURVEY.md §7 "per-bucket jit cache").
     """
-    loss_fn = get_loss_fn(cfg.optimizer.loss_fn)
+    disc_loss_fn = DISC_LOSS_REGISTRY[cfg.optimizer.loss_fn]
+    gen_loss_fn = GEN_LOSS_REGISTRY[cfg.optimizer.loss_fn]
     opts = make_optimizers(cfg)
     o = cfg.optimizer
     my_rec = cfg.shared.my_rec
     z_source = cfg.shared.z_source
     latent_dim = cfg.shared.latent_dim
     padded = cfg.parallel.shape_mode == "padded"
+    use_r = cfg.shared.use_recognizer
+    use_w = cfg.shared.use_style_promoter
 
     G, D, R, W = (models.generator, models.discriminator, models.recognizer,
                   models.style_promoter)
@@ -123,16 +126,23 @@ def make_train_step(cfg: Config, models: ModelBundle):
                                   gen_imgs, True, width_mask=mask_fake,
                                   mutable=["batch_stats"])
 
-        # --- W passes ---
-        w_vars = {"params": wp, "batch_stats": state.w_stats}
-        s_style, w_muts = W.apply(w_vars, style_imgs, True, mutable=["batch_stats"])
-        s_iam, _ = W.apply(w_vars, real_imgs, True, width_mask=mask_real,
-                           mutable=["batch_stats"])
-        s_gen_for_w, _ = W.apply(w_vars, _sg(gen_imgs), True, width_mask=mask_fake,
-                                 mutable=["batch_stats"])
-        s_fake_for_g, _ = W.apply({"params": _sg(wp), "batch_stats": state.w_stats},
-                                  gen_imgs, True, width_mask=mask_fake,
-                                  mutable=["batch_stats"])
+        # --- W passes (skipped entirely under the G+D-only ablation) ---
+        if use_w:
+            w_vars = {"params": wp, "batch_stats": state.w_stats}
+            s_style, w_muts = W.apply(w_vars, style_imgs, True,
+                                      mutable=["batch_stats"])
+            s_iam, _ = W.apply(w_vars, real_imgs, True, width_mask=mask_real,
+                               mutable=["batch_stats"])
+            s_gen_for_w, _ = W.apply(w_vars, _sg(gen_imgs), True,
+                                     width_mask=mask_fake,
+                                     mutable=["batch_stats"])
+            s_fake_for_g, _ = W.apply(
+                {"params": _sg(wp), "batch_stats": state.w_stats},
+                gen_imgs, True, width_mask=mask_fake, mutable=["batch_stats"])
+        else:
+            zeros = jnp.zeros((bsz,), jnp.float32)
+            s_style = s_iam = s_gen_for_w = s_fake_for_g = zeros
+            w_muts = {"batch_stats": state.w_stats}
 
         # --- R passes (CTC) ---
         r_vars = {"params": rp, "batch_stats": state.r_stats}
@@ -143,14 +153,21 @@ def make_train_step(cfg: Config, models: ModelBundle):
         lab_len_fake = fake_lengths
         lab_len_real = real_lengths
 
-        r_logits_fake, _ = R.apply({"params": _sg(rp), "batch_stats": state.r_stats},
-                                   gen_imgs, True, mutable=["batch_stats"],
-                                   rngs={"dropout": rng_drop})
-        r_fake = ctc_loss(r_logits_fake, fake_labels, inp_len_fake, lab_len_fake)
-        r_logits_real, r_muts = R.apply(r_vars, real_imgs, True,
-                                        mutable=["batch_stats"],
-                                        rngs={"dropout": rng_drop})
-        r_real = ctc_loss(r_logits_real, real_labels, inp_len_real, lab_len_real)
+        if use_r:
+            r_logits_fake, _ = R.apply(
+                {"params": _sg(rp), "batch_stats": state.r_stats},
+                gen_imgs, True, mutable=["batch_stats"],
+                rngs={"dropout": rng_drop})
+            r_fake = ctc_loss(r_logits_fake, fake_labels, inp_len_fake,
+                              lab_len_fake)
+            r_logits_real, r_muts = R.apply(r_vars, real_imgs, True,
+                                            mutable=["batch_stats"],
+                                            rngs={"dropout": rng_drop})
+            r_real = ctc_loss(r_logits_real, real_labels, inp_len_real,
+                              lab_len_real)
+        else:  # adversarial-only ablation (BASELINE.json config 2)
+            r_fake = r_real = jnp.zeros((bsz,), jnp.float32)
+            r_muts = {"batch_stats": state.r_stats}
 
         # --- adversarial losses ---
         if o.bug_compatible_style_loss:
@@ -161,17 +178,25 @@ def make_train_step(cfg: Config, models: ModelBundle):
             s_neg, s_for_g = s_iam, s_fake_for_g
 
         # D-update view (d_fake through D params, G frozen)
-        d_loss, d_loss_real, d_loss_fake, _, s_loss, s_loss_pos, s_loss_neg = loss_fn(
-            d_real, d_fake_for_d, s_style, s_neg, _sg(s_for_g))
+        d_loss, d_loss_real, d_loss_fake = disc_loss_fn(d_real, d_fake_for_d)
         # G-update view (d_fake/s_fake through G, D/W frozen)
-        _, _, _, g_loss, _, _, _ = loss_fn(
-            _sg(d_real), d_fake_for_g, _sg(s_style), _sg(s_neg), s_for_g)
+        g_loss = gen_loss_fn(d_fake_for_g)
+        if use_w:
+            s_loss, s_loss_pos, s_loss_neg = disc_loss_fn(s_style, s_neg)
+            g_loss = g_loss + gen_loss_fn(s_for_g)
+        else:
+            s_loss = s_loss_pos = s_loss_neg = jnp.zeros((bsz,), jnp.float32)
 
         # gradient balancing (data_utils.py:421-427,476-490)
-        g_balanced, r_balanced, alpha, r_fake_std, g_loss_std = gradient_balance(
-            r_fake, g_loss, alpha=o.balance_alpha)
-        g_added = g_loss + r_fake
-        g_final = g_balanced if o.apply_gradient_balance else g_added
+        if use_r:
+            g_balanced, r_balanced, alpha, r_fake_std, g_loss_std = \
+                gradient_balance(r_fake, g_loss, alpha=o.balance_alpha)
+            g_added = g_loss + r_fake
+            g_final = g_balanced if o.apply_gradient_balance else g_added
+        else:
+            g_balanced = r_balanced = jnp.zeros((bsz,), jnp.float32)
+            alpha, r_fake_std, g_loss_std = 0.0, jnp.float32(0), jnp.float32(0)
+            g_added = g_final = g_loss
 
         total = (jnp.mean(d_loss) + jnp.mean(s_loss) + jnp.mean(r_real)
                  + jnp.mean(g_final))
