@@ -60,20 +60,15 @@ def main():
 
     labels = jnp.zeros((batch, length), jnp.int32)
     t0 = time.time()
-    import numpy as np
+    from scrabblegan_tpu.utils.fakeparams import fake_variables
 
     with jax.default_device(cpu_dev):
         z0 = jax.random.normal(jax.random.PRNGKey(0), (batch, cfg.shared.latent_dim))
         # throughput bench: param VALUES are irrelevant — build the tree from
-        # eval_shape and fill host-side (orthogonal-init QRs would dominate)
+        # eval_shape with numerically-sane fakes (orthogonal QRs would dominate)
         shapes = jax.eval_shape(
             lambda: generator.init(jax.random.PRNGKey(0), labels, z=z0, train=False))
-        host_rng = np.random.default_rng(0)
-        # abs() keeps BN running-variance leaves positive (no NaN propagation)
-        variables = jax.tree.map(
-            lambda s: jnp.asarray(
-                np.abs(host_rng.standard_normal(s.shape)).astype(s.dtype) * 0.05),
-            shapes)
+        variables = fake_variables(shapes)
     log(f"init (host, eval_shape): {time.time() - t0:.1f}s")
 
     t0 = time.time()
@@ -135,18 +130,12 @@ def _bench_train_step(jax, jnp, tpu_dev, cpu_dev, log) -> float:
     cfg = Config(shared=dataclasses.replace(SharedSpecs(), batch_size=16))
     models = build_models(cfg)
     b, length = 16, 5
+    from scrabblegan_tpu.utils.fakeparams import fake_variables
+
     with jax.default_device(cpu_dev):
         shapes = jax.eval_shape(
             lambda: create_train_state(cfg, jax.random.PRNGKey(0), models))
-    host_rng = np.random.default_rng(0)
-
-    def fill(s):
-        if np.issubdtype(s.dtype, np.integer):
-            return jnp.zeros(s.shape, s.dtype)
-        return jnp.asarray(
-            np.abs(host_rng.standard_normal(s.shape)).astype(s.dtype) * 0.05)
-
-    state = jax.device_put(jax.tree.map(fill, shapes), tpu_dev)
+    state = jax.device_put(fake_variables(shapes), tpu_dev)
     rng = np.random.default_rng(0)
     batch = jax.device_put({
         "real_imgs": rng.uniform(-1, 1, (b, 32, 16 * length, 1)).astype(np.float32),

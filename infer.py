@@ -10,6 +10,9 @@ BOTH latent sources (SURVEY.md defect #10): sampled z (the reference script's
 Usage:
   python infer.py --model-dir runs/model --word machinelearning -n 10 \
       [--z-source noise|style] [--style-image path.png] [--out out.png]
+
+Note: a generator trained in 'padded' shape mode has an extra filter-bank PAD
+row — pass `--set parallel.shape_mode=padded` so the restored structure matches.
 """
 
 from __future__ import annotations
