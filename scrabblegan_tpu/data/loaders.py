@@ -47,22 +47,30 @@ class BucketedDataset:
     (scrabblegan_tpu.data.native) when the library is available, with a numpy
     fallback of identical numerics."""
 
-    def __init__(self, reading_dir: str, input_dim: Tuple[int, int, int],
+    def __init__(self, reading_dir, input_dim: Tuple[int, int, int],
                  bucket_size: int, char_vector: str = CHAR_VECTOR, seed: int = 0,
                  use_native: bool = True):
+        """reading_dir: one bucketed dataset dir, or a list of them — multiple
+        datasets (e.g. IAM + RIMES, both converted by data.iam handlers into the
+        common GAN-Reading format) merge into one sampling pool, realizing the
+        dinterface multi-dataset intent (reference README:58)."""
         self.h, self.w_max, self.c = input_dim
         self.bucket_size = bucket_size
         self.char_vector = char_vector
         self.use_native = use_native
         self._rng = np.random.default_rng(seed)
+        reading_dirs = ([reading_dir] if isinstance(reading_dir, (str, os.PathLike))
+                        else list(reading_dir))
 
         self.images: Dict[int, np.ndarray] = {}
         self.labels: Dict[int, np.ndarray] = {}
         total = 0
         for b in range(1, bucket_size + 1):
-            bucket_dir = os.path.join(reading_dir, str(b))
             imgs, labs = [], []
-            if os.path.isdir(bucket_dir):
+            for rd in reading_dirs:
+                bucket_dir = os.path.join(rd, str(b))
+                if not os.path.isdir(bucket_dir):
+                    continue
                 for fn in sorted(os.listdir(bucket_dir)):
                     if not fn.endswith(".txt"):
                         continue

@@ -76,6 +76,18 @@ class TestBucketedDataset:
         imgs, labels = next(gen)
         assert imgs.shape[0] == 3 and labels.shape[0] == 3
 
+    def test_multi_dataset_merge(self, synth, tmp_path):
+        """dinterface multi-dataset intent: several converted datasets merge
+        into one sampling pool (IAM + RIMES slot)."""
+        read_dir, _, _ = synth
+        read_dir2, _, _ = make_synthetic_dataset(str(tmp_path / "d2"),
+                                                 samples_per_bucket=2,
+                                                 bucket_size=10, seed=9)
+        ds = BucketedDataset([read_dir, read_dir2], (32, 160, 1), 10)
+        assert ds.num_samples == 60 + 20
+        imgs, labels, bucket = ds.sample_batch(4)
+        assert imgs.shape == (4, 32, 16 * bucket, 1)
+
 
 class TestStyleLoader:
     def test_geometry_and_split(self, synth):
