@@ -28,17 +28,19 @@ except Exception:  # pragma: no cover
 
 def _attention_kernel(theta_ref, phi_ref, g_ref, out_ref):
     # theta: (1, QB, Ca), phi: (1, K, Ca), g: (1, K, Cg) -> out: (1, QB, Cg)
-    theta = theta_ref[0].astype(jnp.float32)
-    phi = phi_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
+    # Matmuls run at the INPUT dtype (bf16 under the bf16 policy — 8x the MXU
+    # rate of f32) with f32 accumulation; the softmax itself stays f32.
+    theta = theta_ref[0]
+    phi = phi_ref[0]
+    g = g_ref[0]
 
     scores = jax.lax.dot_general(
         theta, phi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (QB, K)
+    )  # (QB, K) f32
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(attn, g, preferred_element_type=jnp.float32)
+    out = jnp.dot(attn.astype(theta.dtype), g, preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -50,11 +52,23 @@ def _xla_attention(theta, phi, g):
     )
 
 
+def _pick_q_block(q: int, k: int) -> int:
+    """Largest divisor-of-Q block whose f32 score tile fits a ~6MB VMEM budget.
+    Fat blocks matter more than tiling finesse here: per-invocation grid
+    overhead dominates these small-channel matmuls (measured on v5e)."""
+    budget = 6 * 1024 * 1024
+    max_qb = max(128, budget // (k * 4))
+    for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
+        if cand <= max_qb and q % cand == 0:
+            return cand
+    return q
+
+
 def _pallas_forward(theta, phi, g):
     b, q, ca = theta.shape
     k = phi.shape[1]
     cg = g.shape[2]
-    q_block = 256 if q % 256 == 0 else (128 if q % 128 == 0 else q)
+    q_block = _pick_q_block(q, k)
     grid = (b, q // q_block)
     return pl.pallas_call(
         _attention_kernel,
@@ -112,7 +126,7 @@ def nonlocal_attention(theta, phi, g):
     Differentiable: the fused Pallas forward carries a custom VJP whose backward
     recomputes the attention weights in XLA."""
     q = theta.shape[1]
-    q_block = 256 if q % 256 == 0 else (128 if q % 128 == 0 else q)
+    q_block = _pick_q_block(q, phi.shape[1])
     on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
     if not _HAS_PLTPU or not on_tpu or q % q_block != 0:
         return _xla_attention(theta, phi, g)
