@@ -32,6 +32,10 @@ class OptimizerConfig:
     apply_gradient_balance: bool = False
     balance_alpha: float = 1.0
     rmsprop: bool = False  # RMSprop for the recognizer (reference main.py:29-32)
+    # LR schedule: 'constant' (reference parity) | 'cosine' | 'warmup_cosine'.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 1000
+    decay_steps: int = 50240  # reference total: 10 epochs x 5024 steps
     # Reproduce the reference call-site style-loss argument-order bug
     # (SURVEY.md defect #2) instead of the intended semantics.
     bug_compatible_style_loss: bool = False
@@ -107,6 +111,9 @@ class ParallelConfig:
     # (10 compiled steps); 'independent' = reference semantics, fake bucket
     # drawn uniformly (lazy per-(real,fake) compilation).
     bucket_pairing: str = "matched"
+    # Train steps fused into one device dispatch (lax.scan). >1 amortizes
+    # per-call dispatch/fetch overhead; batches within a chunk share a bucket.
+    steps_per_call: int = 1
 
 
 @dataclass(frozen=True)

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from scrabblegan_tpu.config import Config
 from scrabblegan_tpu.train.state import ModelBundle
-from scrabblegan_tpu.train.step import make_train_step
+from scrabblegan_tpu.train.step import make_chunked_train_step, make_train_step
 
 
 def make_mesh(num_devices: int = -1, devices: Optional[Sequence] = None) -> Mesh:
@@ -46,13 +46,20 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
-                             donate: bool = True):
+                             donate: bool = True, chunked: bool = False):
     """jit the train step over the mesh: state replicated, batch data-sharded.
 
-    Returns a compiled callable step(state, batch, rng) -> (state, metrics)."""
-    step = make_train_step(cfg, models)
+    Returns a compiled callable step(state, batch, rng) -> (state, metrics).
+    chunked=True: batch leaves carry a leading steps_per_call axis and rng is a
+    (K, 2) key stack — one dispatch runs K sequential steps (lax.scan); batch
+    data stays sharded on its SECOND axis (the per-step batch axis)."""
     rep = replicate_sharding(mesh)
-    bsh = batch_sharding(mesh)
+    if chunked:
+        step = make_chunked_train_step(cfg, models)
+        bsh = NamedSharding(mesh, P(None, "data"))
+    else:
+        step = make_train_step(cfg, models)
+        bsh = batch_sharding(mesh)
     return jax.jit(
         step,
         in_shardings=(rep, bsh, rep),

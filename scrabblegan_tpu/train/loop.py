@@ -56,9 +56,16 @@ class Trainer:
 
         self.models = build_models(cfg)
         self.mesh = make_mesh(cfg.parallel.num_devices)
-        self.step_fn = make_parallel_train_step(cfg, self.models, self.mesh)
+        self.steps_per_call = max(1, cfg.parallel.steps_per_call)
+        self.step_fn = make_parallel_train_step(
+            cfg, self.models, self.mesh, chunked=self.steps_per_call > 1)
         self._rep = replicate_sharding(self.mesh)
-        self._bsh = batch_sharding(self.mesh)
+        if self.steps_per_call > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._bsh = NamedSharding(self.mesh, P(None, "data"))
+        else:
+            self._bsh = batch_sharding(self.mesh)
         self.np_rng = np.random.default_rng(cfg.seed)
 
     # ------------------------------------------------------------------ setup
@@ -73,9 +80,10 @@ class Trainer:
                     print(f"resumed from checkpoint at step {step}")
                 return jax.device_put(restored, self._rep)
         if self.verbose:
-            n = sum(param_count(p) for p in
-                    (state.g_params, state.d_params, state.r_params, state.w_params))
-            print(f"initialized {n / 1e6:.1f}M parameters across G/D/R/W")
+            from scrabblegan_tpu.utils.summary import summarize_state
+
+            print("initialized networks (model.summary() analog):")
+            summarize_state(state)
         return state
 
     def load_data(self, read_dir: Optional[str] = None,
@@ -106,14 +114,17 @@ class Trainer:
                                               seed_bucket + 1)
 
     # ------------------------------------------------------------------ batch
-    def next_batch(self):
+    def _assemble(self, bucket=None, fake_bucket=None) -> dict:
+        """One host-side batch (numpy). Bucket choices may be pinned so chunked
+        dispatches share a static shape."""
         cfg = self.cfg
         bsz = cfg.shared.batch_size
-        real_imgs, real_labels, bucket = self.dataset.sample_batch(bsz)
-        if cfg.parallel.bucket_pairing == "matched":
-            fake_bucket = bucket
-        else:  # 'independent': reference semantics (data_utils.py:386)
-            fake_bucket = int(self.np_rng.integers(1, cfg.io.bucket_size + 1))
+        real_imgs, real_labels, bucket = self.dataset.sample_batch(bsz, bucket=bucket)
+        if fake_bucket is None:
+            if cfg.parallel.bucket_pairing == "matched":
+                fake_bucket = bucket
+            else:  # 'independent': reference semantics (data_utils.py:386)
+                fake_bucket = int(self.np_rng.integers(1, cfg.io.bucket_size + 1))
         fake_labels = sample_fake_labels(self.np_rng, self.random_words, bsz,
                                          fake_bucket)
         style_idx = self.np_rng.integers(0, len(self.style_train), size=bsz)
@@ -126,7 +137,21 @@ class Trainer:
         }
         if cfg.parallel.shape_mode == "padded":
             batch = self._pad_batch(batch, bucket, fake_bucket)
-        return jax.device_put(batch, self._bsh)
+        return batch
+
+    def next_batch(self):
+        """steps_per_call==1: one device batch; >1: a stacked chunk of K batches
+        sharing one bucket (leading axis K)."""
+        k = self.steps_per_call
+        if k == 1:
+            return jax.device_put(self._assemble(), self._bsh)
+        bucket = self.dataset.sample_bucket()
+        fake_bucket = (bucket if self.cfg.parallel.bucket_pairing == "matched"
+                       else int(self.np_rng.integers(1, self.cfg.io.bucket_size + 1)))
+        batches = [self._assemble(bucket=bucket, fake_bucket=fake_bucket)
+                   for _ in range(k)]
+        stacked = {key: np.stack([b[key] for b in batches]) for key in batches[0]}
+        return jax.device_put(stacked, self._bsh)
 
     def _pad_batch(self, batch, real_len: int, fake_len: int):
         """'padded' mode: white-pad images to max width, pad labels with the pad
@@ -181,36 +206,46 @@ class Trainer:
             print("training...")
 
         log_every = max(1, batches_per_epoch // 10)
+        k = self.steps_per_call
+        calls_per_epoch = max(1, batches_per_epoch // k)
+        if self.verbose and k > 1 and batches_per_epoch % k:
+            print(f"steps_per_call={k}: epoch rounded to {calls_per_epoch * k} batches")
 
         def flush_pending(pending):
-            """Fetch a previous step's (tiny) metrics and log them — called one
-            step late so the device is never idle waiting on the host."""
-            e_idx, b_idx, m = pending
+            """Fetch a previous dispatch's (tiny) metrics and log them — one
+            call late so the device is never idle waiting on the host."""
+            e_idx, call_idx, m = pending
             m = jax.device_get(m)
-            writer.write_batch(e_idx, b_idx, m)
-            if self.verbose and (b_idx + 1) % log_every == 0:
-                print(
-                    f">{e_idx + 1}, {b_idx + 1}/{batches_per_epoch}, "
-                    f"d={m['d_loss']:.3f}, d_real={m['d_loss_real']:.3f}, "
-                    f"d_fake={m['d_loss_fake']:.3f}, g_trad={m['g_loss']:.3f}, "
-                    f"r_loss_fake={m['r_loss_fake']:.3f}, "
-                    f"g_loss={m['g_loss_final']:.3f}, "
-                    f"r={m['r_loss_real']:.3f}, s={m['s_loss_real']:.3f}")
+            rows = [m] if k == 1 else [
+                {key: v[i] for key, v in m.items()} for i in range(k)]
+            for i, row in enumerate(rows):
+                b_idx = call_idx * k + i
+                writer.write_batch(e_idx, b_idx, row)
+                if self.verbose and (b_idx + 1) % log_every == 0:
+                    print(
+                        f">{e_idx + 1}, {b_idx + 1}/{calls_per_epoch * k}, "
+                        f"d={row['d_loss']:.3f}, d_real={row['d_loss_real']:.3f}, "
+                        f"d_fake={row['d_loss_fake']:.3f}, g_trad={row['g_loss']:.3f}, "
+                        f"r_loss_fake={row['r_loss_fake']:.3f}, "
+                        f"g_loss={row['g_loss_final']:.3f}, "
+                        f"r={row['r_loss_real']:.3f}, s={row['s_loss_real']:.3f}")
 
         for epoch_idx in range(start_epoch, epochs):
             t0 = time.time()
             pending = None
             next_batch = self.next_batch()
-            for batch_idx in range(batches_per_epoch):
+            for call_idx in range(calls_per_epoch):
                 batch = next_batch
                 rng, step_rng = jax.random.split(rng)
+                if k > 1:
+                    step_rng = jax.random.split(step_rng, k)
                 state, metrics = self.step_fn(state, batch, step_rng)
-                # host-side work for step N+1 overlaps the device's step N
-                if batch_idx + 1 < batches_per_epoch:
+                # host-side work for the next dispatch overlaps the device
+                if call_idx + 1 < calls_per_epoch:
                     next_batch = self.next_batch()
                 if pending is not None:
                     flush_pending(pending)
-                pending = (epoch_idx, batch_idx, metrics)
+                pending = (epoch_idx, call_idx, metrics)
             if pending is not None:
                 flush_pending(pending)
             writer.end_epoch()

@@ -98,13 +98,25 @@ def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> Model
 
 def make_optimizers(cfg: Config) -> Dict[str, optax.GradientTransformation]:
     """Adam x4 (lr 2e-4, betas (0.0, 0.999)); optional RMSprop for R
-    (reference main.py:25-35, scrabble_gan.gin:5-14)."""
+    (reference main.py:25-35, scrabble_gan.gin:5-14). LR schedule defaults to
+    constant (reference parity); cosine / warmup+cosine available."""
     o = cfg.optimizer
-    adam = lambda lr: optax.adam(lr, b1=o.beta_1, b2=o.beta_2)
+
+    def schedule(lr):
+        if o.lr_schedule == "constant":
+            return lr
+        if o.lr_schedule == "cosine":
+            return optax.cosine_decay_schedule(lr, o.decay_steps)
+        if o.lr_schedule == "warmup_cosine":
+            return optax.warmup_cosine_decay_schedule(
+                0.0, lr, o.warmup_steps, o.decay_steps)
+        raise ValueError(f"unknown lr_schedule: {o.lr_schedule}")
+
+    adam = lambda lr: optax.adam(schedule(lr), b1=o.beta_1, b2=o.beta_2)
     return {
         "g": adam(o.g_lr),
         "d": adam(o.d_lr),
-        "r": optax.rmsprop(o.r_lr) if o.rmsprop else adam(o.r_lr),
+        "r": optax.rmsprop(schedule(o.r_lr)) if o.rmsprop else adam(o.r_lr),
         "w": adam(o.w_lr),
     }
 

@@ -260,3 +260,23 @@ def make_train_step(cfg: Config, models: ModelBundle):
         return new_state, metrics
 
     return step
+
+
+def make_chunked_train_step(cfg: Config, models: ModelBundle):
+    """K = cfg.parallel.steps_per_call train steps per device dispatch, via
+    lax.scan over a stacked batch (leading axis K on every leaf) and K rngs.
+
+    Amortizes per-call dispatch/fetch overhead — on the single-chip tunnel the
+    raw step rate is ~26/s but a step-per-call loop sustains only ~17/s; chunking
+    recovers the gap. Semantically identical to K sequential steps (the
+    disc_iters cadence rides the step counter inside the scan)."""
+    step = make_train_step(cfg, models)
+
+    def chunk(state: TrainState, batches, rngs):
+        def body(st, xs):
+            b, r = xs
+            return step(st, b, r)
+
+        return jax.lax.scan(body, state, (batches, rngs))
+
+    return chunk
