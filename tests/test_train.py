@@ -2,6 +2,7 @@
 routing between the four networks, disc_iters cadence, mesh=1 vs mesh=8 parity)."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -127,26 +128,24 @@ class TestGradientBalance:
 class TestParallel:
     def test_mesh8_matches_mesh1(self):
         """SURVEY.md §5 parity criterion: same numerics as the single-device step
-        when the batch is sharded over 8 virtual devices."""
-        assert len(jax.devices()) >= 8
-        cfg = tiny_cfg()
-        models = build_models(cfg)
-        state = create_train_state(cfg, jax.random.PRNGKey(0), models)
-        batch = make_batch()
-        rngk = jax.random.PRNGKey(2)
+        when the batch is sharded over 8 virtual devices.
 
-        mesh1 = make_mesh(1)
-        step1 = make_parallel_train_step(cfg, models, mesh1, donate=False)
-        s1, m1 = step1(state, batch, rngk)
+        Runs in a SUBPROCESS (with one retry): XLA:CPU's multi-replica all-reduce
+        rendezvous can CHECK-fail and abort the host process when its worker
+        threads are starved — an abort must fail this test, not kill pytest."""
+        import subprocess
+        import sys
 
-        mesh8 = make_mesh(8)
-        step8 = make_parallel_train_step(cfg, models, mesh8, donate=False)
-        s8, m8 = step8(state, batch, rngk)
-
-        for k in METRIC_NAMES:
-            np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-3,
-                                       atol=2e-4, err_msg=k)
-        # compare on host: the two results live on differently-committed meshes
-        g1 = jax.device_get(s1.g_params)
-        g8 = jax.device_get(s8.g_params)
-        assert _delta(g1, g8) < 5e-3
+        cmd = [sys.executable, "-m", "scrabblegan_tpu.parallel.selftest", "8"]
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # selftest sets its own device count
+        for attempt in range(2):
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3000, env=env,
+                                  cwd=os.path.dirname(os.path.dirname(
+                                      os.path.abspath(__file__))))
+            if "PARITY-OK" in proc.stdout:
+                return
+        raise AssertionError(
+            f"parity selftest failed after 2 attempts:\n{proc.stdout[-2000:]}\n"
+            f"{proc.stderr[-2000:]}")
