@@ -19,8 +19,11 @@ def run(n_devices: int = 8) -> bool:
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
+        flags += f" --xla_force_host_platform_device_count={n_devices}"
+    if "collective_call_terminate" not in flags:
+        flags += (" --xla_cpu_collective_timeout_seconds=1200"
+                  " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+    os.environ["XLA_FLAGS"] = flags.strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -10,7 +10,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual replicas share the host's intra-op pool, so a replica can take
+# minutes to reach its first all-reduce; the default rendezvous terminate
+# timeout CHECK-aborts the whole process. Give collectives room.
+if "collective_call_terminate" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
