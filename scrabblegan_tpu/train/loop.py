@@ -112,6 +112,11 @@ class Trainer:
         seed_bucket = int(self.np_rng.integers(lo, cfg.io.bucket_size))
         self.seed_labels = sample_fake_labels(self.np_rng, self.random_words, k,
                                               seed_bucket + 1)
+        # fixed z for z_source='noise' epoch grids — the noise-mode analog of
+        # the reference's fixed seed (main.py:104-108); without it the
+        # per-epoch artifact dump would have no latent to feed the generator
+        self.seed_z = self.np_rng.standard_normal(
+            (k, cfg.shared.latent_dim)).astype(np.float32)
 
     # ------------------------------------------------------------------ batch
     def _assemble(self, bucket=None, fake_bucket=None) -> dict:
@@ -262,7 +267,8 @@ class Trainer:
 
     # ----------------------------------------------------------------- extras
     def save_epoch_artifacts(self, state: TrainState, epoch: int) -> None:
-        imgs = self.generate(state, self.seed_labels, self.seed_style)
+        imgs = self.generate(state, self.seed_labels, self.seed_style,
+                             z=getattr(self, "seed_z", None))
         save_epoch_grid(np.asarray(imgs), self.seed_labels, self.gen_path, epoch,
                         self.cfg.io.char_vec)
         ckpt_lib.save_state(self.ckpt_path, jax.device_get(state),

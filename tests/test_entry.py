@@ -4,6 +4,8 @@ dryrun_multichip() executes a sharded step on the 8-device virtual mesh."""
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # jits multi-network steps / fresh model shapes
+
 
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jits multi-network steps / fresh model shapes
+
 from scrabblegan_tpu.config import Config, IOConfig, OptimizerConfig, ParallelConfig, SharedSpecs
 from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
 
@@ -91,6 +93,26 @@ class TestTrainRun:
         assert len(outs) == 4
         for o in outs:
             assert os.path.exists(o)
+
+    def test_train_noise_mode_epoch_artifacts(self, cfg, tmp_path_factory):
+        """z_source='noise' must survive a full epoch INCLUDING the epoch-end
+        artifact dump (grid + checkpoint) — configs 2/3 set this mode and the
+        round-1 build crashed in save_epoch_artifacts (no seed z)."""
+        from scrabblegan_tpu.train.loop import Trainer
+
+        noise_cfg = dataclasses.replace(
+            cfg, shared=dataclasses.replace(cfg.shared, z_source="noise"))
+        workdir = str(tmp_path_factory.mktemp("run_noise"))
+        data_root = str(tmp_path_factory.mktemp("data_noise"))
+        read_dir, words_file, style_dir = make_synthetic_dataset(
+            data_root, samples_per_bucket=4, bucket_size=3)
+        trainer = Trainer(noise_cfg, workdir=workdir, verbose=False)
+        trainer.load_data(read_dir=read_dir, style_dir=style_dir,
+                          words_file=words_file)
+        state = trainer.train(epochs=1, batches_per_epoch=1, resume=False)
+        assert int(state.step) == 1
+        assert os.path.exists(
+            os.path.join(trainer.gen_path, "image_at_epoch_0001.png"))
 
     def test_inference_on_export(self, trained, cfg):
         """infer.py path: word string -> images via the latest export."""

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jits multi-network steps / fresh model shapes
+
 from scrabblegan_tpu.models import (
     BiLSTMRecognizer,
     DCGANDiscriminator,

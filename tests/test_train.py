@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # jits multi-network steps / fresh model shapes
+
 from scrabblegan_tpu.config import Config, OptimizerConfig, ParallelConfig, SharedSpecs
 from scrabblegan_tpu.parallel.mesh import make_mesh, make_parallel_train_step
 from scrabblegan_tpu.train.state import build_models, create_train_state
