@@ -81,6 +81,9 @@ class IOConfig:
     """Reference: io gin bindings (scrabble_gan.gin:29-43)."""
 
     base_path: str = "./runs/"
+    # First-run raw->GAN-Reading converter, by registry name: 'iam' | 'rimes'
+    # (data/iam.py DATASET_HANDLERS; the dinterface multi-dataset slot).
+    dataset: str = "iam"
     checkpoint_dir: str = "checkpoints/"
     gen_imgs_dir: str = "output/"
     model_dir: str = "model/"
@@ -91,9 +94,15 @@ class IOConfig:
     input_dim: Tuple[int, int, int] = (32, 160, 1)  # (H, W_max, C)
     buf_size: int = 80377
     n_classes: int = 52
+    # Fixed word length: when set, every real/fake batch is drawn from this
+    # single length bucket (the reference's io.seq_len gin key, scrabble_gan.gin
+    # `seq_len=None`; configs/1_inference.json pins 5 for fixed-length runs).
     seq_len: Optional[int] = None
     bucket_size: int = 10
     char_vec: str = CHAR_VECTOR
+    # Per-batch console logging cadence: None = throttled to ~10 lines/epoch;
+    # 1 = the reference's per-step 10-stat print (data_utils.py:444-446).
+    log_every: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -114,6 +123,11 @@ class ParallelConfig:
     # Train steps fused into one device dispatch (lax.scan). >1 amortizes
     # per-call dispatch/fetch overhead; batches within a chunk share a bucket.
     steps_per_call: int = 1
+    # Host input pipeline: batches assembled AND device_put by a background
+    # thread into a bounded queue this many entries deep, overlapping both the
+    # numpy assembly and the H2D transfer with device compute. 0 = synchronous
+    # (round-1 behavior).
+    prefetch_depth: int = 2
 
 
 @dataclass(frozen=True)

@@ -120,8 +120,61 @@ def init_reading(
     return convert_to_gan_format(raw_dir, read_dir, input_dim, bucket_size, transcriptions)
 
 
+def parse_rimes_groundtruth(gt_path: str) -> Dict[str, str]:
+    """Parse a RIMES-style ground-truth file into {<image basename>: word}.
+
+    RIMES word ground truth (e.g. groundtruth_training_icdar2011.txt) is one
+    `<relative image path> <transcription>` pair per line. Non-alphabetic
+    transcriptions are kept here and filtered by the generic converter, the
+    same split of duties as the IAM path."""
+    transcriptions: Dict[str, str] = {}
+    with open(gt_path, "r", encoding="utf8") as f:
+        for line in f:
+            fields = line.split(None, 1)
+            if len(fields) != 2:
+                continue
+            rel_path, word = fields[0], fields[1].strip()
+            img_nm = os.path.basename(rel_path)
+            if not img_nm.endswith(".png"):
+                img_nm = os.path.splitext(img_nm)[0] + ".png"
+            transcriptions[img_nm] = word
+    return transcriptions
+
+
+def init_reading_rimes(
+    raw_dir: str,
+    read_dir: str,
+    input_dim: Tuple[int, int, int],
+    bucket_size: int,
+    ground_truth: str | None = None,
+) -> Tuple[int, Counter]:
+    """RIMES words -> GAN-Reading format: the concrete second dataset the
+    dinterface layer was designed for (reference README:58, dinterface.py:5-34
+    — the reference never shipped it).
+
+    `ground_truth` defaults to <raw_dir>/ground_truth.txt, else the first
+    .txt file directly under raw_dir."""
+    if ground_truth is None:
+        default = os.path.join(raw_dir, "ground_truth.txt")
+        if os.path.exists(default):
+            ground_truth = default
+        else:
+            txts = sorted(fn for fn in os.listdir(raw_dir)
+                          if fn.endswith(".txt"))
+            if not txts:
+                raise FileNotFoundError(
+                    f"no RIMES ground-truth .txt found under {raw_dir}")
+            ground_truth = os.path.join(raw_dir, txts[0])
+    print("convert RIMES words dataset to GAN-Reading format...")
+    transcriptions = parse_rimes_groundtruth(ground_truth)
+    print(f"size of dataset words: {len(transcriptions)}")
+    return convert_to_gan_format(raw_dir, read_dir, input_dim, bucket_size,
+                                 transcriptions)
+
+
 DATASET_HANDLERS: Dict[str, Callable] = {
     "iam": init_reading,
+    "rimes": init_reading_rimes,
 }
 
 

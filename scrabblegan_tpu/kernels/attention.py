@@ -13,10 +13,15 @@ Falls back to pure XLA when shapes don't meet the tiling preconditions.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+# A/B toggle for perf measurement: SCRABBLEGAN_PALLAS_BWD=0 reverts the
+# attention VJP to the XLA backward that materializes the (Q, K) matrices.
+_USE_PALLAS_BWD = os.environ.get("SCRABBLEGAN_PALLAS_BWD", "1") != "0"
 
 try:  # pltpu import fails on non-TPU-capable builds; fall back gracefully
     from jax.experimental.pallas import tpu as pltpu
@@ -64,7 +69,9 @@ def _pick_q_block(q: int, k: int) -> int:
     return q
 
 
-def _pallas_forward(theta, phi, g):
+def _pallas_forward(theta, phi, g, interpret: bool = False):
+    """interpret=True executes the kernel body (block indexing, q-block picker,
+    f32 softmax) through the Pallas interpreter — how CI runs it on CPU."""
     b, q, ca = theta.shape
     k = phi.shape[1]
     cg = g.shape[2]
@@ -80,7 +87,84 @@ def _pallas_forward(theta, phi, g):
             pl.BlockSpec((1, k, cg), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, q_block, cg), lambda i, j: (i, j, 0)),
+        interpret=interpret,
     )(theta, phi, g)
+
+
+def _attention_bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref,
+                          dtheta_ref, dphi_ref, dg_ref):
+    """Fused flash-style backward: per (batch, q-block) grid step, recompute
+    the attention row block A = softmax(theta phi^T) in VMEM, apply the
+    softmax VJP, and emit all three input grads. d_phi / d_g map to the SAME
+    output block for every q-block step (index constant in j), so Mosaic keeps
+    them VMEM-resident across the sequential inner grid dimension and the
+    kernel accumulates into them — the (Q, K) matrices never touch HBM."""
+    j = pl.program_id(1)
+    theta = theta_ref[0].astype(jnp.float32)  # (QB, Ca)
+    phi = phi_ref[0].astype(jnp.float32)      # (K, Ca)
+    g = g_ref[0].astype(jnp.float32)          # (K, Cg)
+    dout = dout_ref[0].astype(jnp.float32)    # (QB, Cg)
+
+    scores = jax.lax.dot_general(
+        theta, phi, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (QB, K)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    d_attn = jax.lax.dot_general(
+        dout, g, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)    # (QB, K)
+    # softmax VJP: dS = A * (dA - sum_k(A * dA))
+    d_scores = attn * (d_attn - jnp.sum(attn * d_attn, axis=-1, keepdims=True))
+
+    dtheta_ref[0] = jnp.dot(
+        d_scores, phi, preferred_element_type=jnp.float32
+    ).astype(dtheta_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        dphi_ref[0] = jnp.zeros_like(dphi_ref[0])
+        dg_ref[0] = jnp.zeros_like(dg_ref[0])
+
+    dphi_ref[0] += jax.lax.dot_general(
+        d_scores, theta, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dphi_ref.dtype)  # (K, Ca)
+    dg_ref[0] += jax.lax.dot_general(
+        attn, dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dg_ref.dtype)    # (K, Cg)
+
+
+def _pallas_backward(theta, phi, g, d_out, interpret: bool = False):
+    b, q, ca = theta.shape
+    k = phi.shape[1]
+    cg = g.shape[2]
+    # two (QB, K) f32 intermediates live at once -> halve the forward budget
+    q_block = _pick_q_block(q, 2 * k)
+    grid = (b, q // q_block)
+    d_theta, d_phi, d_g = pl.pallas_call(
+        _attention_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, q, ca), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, ca), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, cg), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, q_block, ca), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, k, ca), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, k, cg), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, q_block, cg), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, q_block, ca), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, k, ca), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, k, cg), lambda i, j: (i, 0, 0)),
+        ),
+        interpret=interpret,
+    )(theta, phi, g, d_out)
+    return (d_theta.astype(theta.dtype), d_phi.astype(phi.dtype),
+            d_g.astype(g.dtype))
 
 
 @jax.custom_vjp
@@ -92,12 +176,9 @@ def _attention_fwd(theta, phi, g):
     return _pallas_forward(theta, phi, g), (theta, phi, g)
 
 
-def _attention_bwd(residuals, d_out):
-    """Backward pass: recompute attention weights via the XLA path and
-    differentiate analytically. The fused forward never materialized the (Q, K)
-    attention matrix; the backward pays for it once — exactly the
-    recompute-over-store tradeoff of flash attention."""
-    theta, phi, g = residuals
+def _xla_backward(theta, phi, g, d_out):
+    """Reference backward: recompute attention weights via the XLA path and
+    differentiate analytically — materializes the (Q, K) matrices in HBM."""
     scores = jnp.einsum("bqc,bkc->bqk", theta, phi,
                         preferred_element_type=jnp.float32).astype(jnp.float32)
     attn = jax.nn.softmax(scores, axis=-1)
@@ -112,6 +193,14 @@ def _attention_bwd(residuals, d_out):
     d_phi = jnp.einsum("bqk,bqc->bkc", d_scores, theta.astype(jnp.float32))
     return (d_theta.astype(theta.dtype), d_phi.astype(phi.dtype),
             d_g.astype(g.dtype))
+
+
+def _attention_bwd(residuals, d_out):
+    theta, phi, g = residuals
+    q, k = theta.shape[1], phi.shape[1]
+    if _USE_PALLAS_BWD and q % _pick_q_block(q, 2 * k) == 0:
+        return _pallas_backward(theta, phi, g, d_out)
+    return _xla_backward(theta, phi, g, d_out)
 
 
 _attention_op.defvjp(_attention_fwd, _attention_bwd)

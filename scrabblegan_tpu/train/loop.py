@@ -18,6 +18,8 @@ redesigned TPU-first:
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from typing import Optional
 
@@ -41,6 +43,54 @@ from scrabblegan_tpu.train import checkpoint as ckpt_lib
 from scrabblegan_tpu.train.metrics import SummaryWriter
 from scrabblegan_tpu.train.state import TrainState, build_models, create_train_state, param_count
 from scrabblegan_tpu.utils.viz import make_gif, save_epoch_grid
+
+
+class _Prefetcher:
+    """Background-thread input pipeline: assembles batches and enqueues the
+    device transfers ahead of dispatch (double buffering). All batch
+    randomness lives in the producer thread, drawing from the same np_rng
+    sequence the synchronous path uses — identical batch streams."""
+
+    def __init__(self, make_batch, depth: int = 2):
+        self._make = make_batch
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                item = self._make()
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on the consumer side
+            self._err = e
+
+    def get(self):
+        while True:
+            if self._err is not None:
+                raise self._err
+            try:
+                return self._q.get(timeout=0.25)
+            except queue.Empty:
+                if not self._thread.is_alive() and self._err is None:
+                    raise RuntimeError("prefetcher thread exited unexpectedly")
+
+    def close(self):
+        self._stop.set()
+        # drain so a blocked put can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
 
 
 class Trainer:
@@ -109,7 +159,8 @@ class Trainer:
         # reference draws the viz word length from [4, bucket_size-1]
         # (main.py:107); clamp the lower bound for small bucket configs
         lo = min(4, cfg.io.bucket_size - 1)
-        seed_bucket = int(self.np_rng.integers(lo, cfg.io.bucket_size))
+        seed_bucket = (int(cfg.io.seq_len) - 1 if cfg.io.seq_len
+                       else int(self.np_rng.integers(lo, cfg.io.bucket_size)))
         self.seed_labels = sample_fake_labels(self.np_rng, self.random_words, k,
                                               seed_bucket + 1)
         # fixed z for z_source='noise' epoch grids — the noise-mode analog of
@@ -124,9 +175,13 @@ class Trainer:
         dispatches share a static shape."""
         cfg = self.cfg
         bsz = cfg.shared.batch_size
+        if bucket is None and cfg.io.seq_len:
+            bucket = int(cfg.io.seq_len)  # fixed-length runs (io.seq_len gin key)
         real_imgs, real_labels, bucket = self.dataset.sample_batch(bsz, bucket=bucket)
         if fake_bucket is None:
-            if cfg.parallel.bucket_pairing == "matched":
+            if cfg.io.seq_len:
+                fake_bucket = int(cfg.io.seq_len)
+            elif cfg.parallel.bucket_pairing == "matched":
                 fake_bucket = bucket
             else:  # 'independent': reference semantics (data_utils.py:386)
                 fake_bucket = int(self.np_rng.integers(1, cfg.io.bucket_size + 1))
@@ -150,9 +205,12 @@ class Trainer:
         k = self.steps_per_call
         if k == 1:
             return jax.device_put(self._assemble(), self._bsh)
-        bucket = self.dataset.sample_bucket()
-        fake_bucket = (bucket if self.cfg.parallel.bucket_pairing == "matched"
-                       else int(self.np_rng.integers(1, self.cfg.io.bucket_size + 1)))
+        if self.cfg.io.seq_len:
+            bucket = fake_bucket = int(self.cfg.io.seq_len)
+        else:
+            bucket = self.dataset.sample_bucket()
+            fake_bucket = (bucket if self.cfg.parallel.bucket_pairing == "matched"
+                           else int(self.np_rng.integers(1, self.cfg.io.bucket_size + 1)))
         batches = [self._assemble(bucket=bucket, fake_bucket=fake_bucket)
                    for _ in range(k)]
         stacked = {key: np.stack([b[key] for b in batches]) for key in batches[0]}
@@ -190,7 +248,7 @@ class Trainer:
     # ------------------------------------------------------------------ train
     def train(self, epochs: Optional[int] = None,
               batches_per_epoch: Optional[int] = None,
-              resume: bool = True) -> TrainState:
+              resume: bool = True, profile_steps: int = 0) -> TrainState:
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.shared.epochs
         if batches_per_epoch is None:
@@ -210,7 +268,10 @@ class Trainer:
             print(f"devices:               {len(self.mesh.devices.flat)}")
             print("training...")
 
-        log_every = max(1, batches_per_epoch // 10)
+        # io.log_every=1 restores the reference's per-step 10-stat print
+        # (data_utils.py:444-446); default throttles to ~10 lines per epoch
+        log_every = (int(cfg.io.log_every) if cfg.io.log_every
+                     else max(1, batches_per_epoch // 10))
         k = self.steps_per_call
         calls_per_epoch = max(1, batches_per_epoch // k)
         if self.verbose and k > 1 and batches_per_epoch % k:
@@ -235,31 +296,64 @@ class Trainer:
                         f"g_loss={row['g_loss_final']:.3f}, "
                         f"r={row['r_loss_real']:.3f}, s={row['s_loss_real']:.3f}")
 
-        for epoch_idx in range(start_epoch, epochs):
-            t0 = time.time()
-            pending = None
-            next_batch = self.next_batch()
-            for call_idx in range(calls_per_epoch):
-                batch = next_batch
-                rng, step_rng = jax.random.split(rng)
-                if k > 1:
-                    step_rng = jax.random.split(step_rng, k)
-                state, metrics = self.step_fn(state, batch, step_rng)
-                # host-side work for the next dispatch overlaps the device
-                if call_idx + 1 < calls_per_epoch:
-                    next_batch = self.next_batch()
+        if profile_steps:
+            # --profile N: capture a jax.profiler trace of N real train
+            # dispatches (they advance state) and print honest steps/sec
+            from scrabblegan_tpu.utils import profiling
+
+            trace_dir = os.path.join(self.gen_path, "trace")
+            timer = profiling.StepTimer(warmup=min(2, max(0, profile_steps - 1)))
+            metrics = None
+            with profiling.trace(trace_dir):
+                for _ in range(profile_steps):
+                    batch = self.next_batch()
+                    rng, step_rng = jax.random.split(rng)
+                    if k > 1:
+                        step_rng = jax.random.split(step_rng, k)
+                    with profiling.annotate("train_step"):
+                        state, metrics = self.step_fn(state, batch, step_rng)
+                    timer.tick(metrics)
+            if self.verbose:
+                print(f"[profile] {profile_steps} dispatches traced to "
+                      f"{trace_dir}; {timer.steps_per_sec * k:.2f} steps/s")
+
+        # background producer: assembly + H2D transfer run ahead of dispatch
+        prefetcher = (None if cfg.parallel.prefetch_depth <= 0 else
+                      _Prefetcher(self.next_batch,
+                                  depth=cfg.parallel.prefetch_depth))
+        try:
+            for epoch_idx in range(start_epoch, epochs):
+                t0 = time.time()
+                pending = None
+                next_batch = (prefetcher.get() if prefetcher
+                              else self.next_batch())
+                for call_idx in range(calls_per_epoch):
+                    batch = next_batch
+                    rng, step_rng = jax.random.split(rng)
+                    if k > 1:
+                        step_rng = jax.random.split(step_rng, k)
+                    state, metrics = self.step_fn(state, batch, step_rng)
+                    # host-side work for the next dispatch overlaps the device
+                    if call_idx + 1 < calls_per_epoch:
+                        next_batch = (prefetcher.get() if prefetcher
+                                      else self.next_batch())
+                    if pending is not None:
+                        flush_pending(pending)
+                    pending = (epoch_idx, call_idx, metrics)
                 if pending is not None:
                     flush_pending(pending)
-                pending = (epoch_idx, call_idx, metrics)
-            if pending is not None:
-                flush_pending(pending)
-            writer.end_epoch()
+                writer.end_epoch()
 
-            jax.block_until_ready(state)
-            if self.verbose:
-                print(f"Time for epoch {epoch_idx + 1} is {time.time() - t0:.1f} sec")
+                jax.block_until_ready(state)
+                self.last_epoch_secs = time.time() - t0
+                if self.verbose:
+                    print(f"Time for epoch {epoch_idx + 1} is "
+                          f"{self.last_epoch_secs:.1f} sec")
 
-            self.save_epoch_artifacts(state, epoch_idx + 1)
+                self.save_epoch_artifacts(state, epoch_idx + 1)
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
 
         writer.close()
         make_gif(self.gen_path, "biggan.gif")

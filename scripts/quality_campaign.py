@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Quality/convergence campaign driver (VERDICT r1 item 1).
+
+Trains a run to completion on a scaled-up synthetic dataset (the IAM stand-in;
+no dataset download is possible in this environment), then scores EVERY
+epoch's saved generator export post-hoc:
+
+- rFID: Frechet distance over the FINAL recognizer's pooled conv features —
+  the extractor is frozen across epochs so the curve is comparable.
+- cer_gen: character error rate of the final recognizer reading each epoch's
+  generated images against their intended labels (ScrabbleGAN's native
+  "readability" signal).
+- cer_real: CER of the final recognizer on real data (once per run; shows R
+  itself learned, the precondition for trusting rFID/cer_gen).
+
+Results land in <workdir>/quality.jsonl + an rFID/CER curve PNG; the epoch
+grids the loop already dumps are the qualitative evidence
+(reference bar: /root/reference/README.md:5-7, doc/ScrabbleGan_no_grad_bal.gif).
+
+Runs (all 10 epochs x 2500 steps, batch 16, unless overridden):
+  c4m       default config: style z, bucketed, matched pairing, hinge
+  c3        configs/3: noise z, padded shape mode, gradient balancing
+  pm        padded + matched pairing (style z) — single-compile baseline arm
+  pi        padded + INDEPENDENT pairing (reference fake-bucket semantics,
+            data_utils.py:385-387) — A/B vs pm for pairing dynamics
+  bugstyle  pm + bug_compatible_style_loss (reference defect #2 wiring A/B)
+
+The pairing and style-loss A/Bs run in 'padded' shape mode deliberately: one
+XLA compilation per arm instead of up to 100 (real,fake) bucket-pair
+specializations on the bucketed path — identical semantics, tractable compile
+budget on the remote-compile TPU backend.
+
+Usage:
+  python scripts/quality_campaign.py --run c4m [--root runs/quality]
+      [--epochs 10] [--batches-per-epoch 2500] [--eval-samples 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+RUNS = {
+    "c4m": {},
+    "c3": {"shared.z_source": "noise", "parallel.shape_mode": "padded",
+           "optimizer.apply_gradient_balance": True},
+    "pm": {"parallel.shape_mode": "padded",
+           "parallel.bucket_pairing": "matched"},
+    "pi": {"parallel.shape_mode": "padded",
+           "parallel.bucket_pairing": "independent"},
+    "bugstyle": {"parallel.shape_mode": "padded",
+                 "parallel.bucket_pairing": "matched",
+                 "optimizer.bug_compatible_style_loss": True},
+}
+
+EVAL_BUCKET = 5  # fixed word length for rFID/CER batches
+
+
+def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7):
+    """Scaled synthetic dataset shared by all runs (10 buckets)."""
+    from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
+
+    data_root = os.path.join(root, "data")
+    read_dir = os.path.join(data_root, "words-Reading")
+    if os.path.isdir(read_dir) and os.path.isdir(os.path.join(read_dir, "10")):
+        n = len([f for f in os.listdir(os.path.join(read_dir, "5"))
+                 if f.endswith(".png")])
+        if n >= samples_per_bucket:
+            return (read_dir, os.path.join(data_root, "random_words.txt"),
+                    os.path.join(data_root, "style_imgs"))
+    print(f"building synthetic dataset ({samples_per_bucket}/bucket)...",
+          flush=True)
+    return make_synthetic_dataset(data_root,
+                                  samples_per_bucket=samples_per_bucket,
+                                  bucket_size=10, seed=seed)
+
+
+def generate_batched(trainer, variables, labels, style_imgs, z, chunk=64):
+    """Inference-mode generation through an epoch's exported G variables."""
+    cfg = trainer.cfg
+    outs = []
+    for i in range(0, len(labels), chunk):
+        kwargs = {}
+        if cfg.shared.z_source == "style":
+            kwargs["style_imgs"] = style_imgs[i:i + chunk]
+        else:
+            kwargs["z"] = z[i:i + chunk]
+        out = trainer.models.generator.apply(
+            variables, labels[i:i + chunk], train=False, **kwargs)
+        outs.append(np.asarray(out, np.float32))
+    return np.concatenate(outs, 0)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run", required=True, choices=sorted(RUNS))
+    p.add_argument("--root", default="runs/quality")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batches-per-epoch", type=int, default=2500)
+    p.add_argument("--eval-samples", type=int, default=512)
+    p.add_argument("--samples-per-bucket", type=int, default=800)
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; re-score existing epoch exports")
+    args = p.parse_args(argv)
+
+    from scrabblegan_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+    import jax
+
+    from scrabblegan_tpu.config import load_config
+    from scrabblegan_tpu.data.loaders import sample_fake_labels
+    from scrabblegan_tpu.eval import (
+        character_error_rate,
+        compute_rfid,
+        greedy_ctc_decode,
+        recognizer_features,
+    )
+    from scrabblegan_tpu.train import checkpoint as ckpt_lib
+    from scrabblegan_tpu.train.loop import Trainer
+    from scrabblegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    cfg = load_config(None, dict(RUNS[args.run]))
+    workdir = os.path.join(args.root, args.run)
+    read_dir, words_file, style_dir = ensure_dataset(
+        args.root, args.samples_per_bucket)
+
+    trainer = Trainer(cfg, workdir=workdir)
+    trainer.load_data(read_dir=read_dir, style_dir=style_dir,
+                      words_file=words_file)
+
+    # ------------------------------------------------------------------ train
+    t0 = time.time()
+    if not args.eval_only:
+        trainer.train(epochs=args.epochs,
+                      batches_per_epoch=args.batches_per_epoch, resume=True)
+    train_secs = time.time() - t0
+
+    # ------------------------------------------------------------- post-hoc eval
+    state = trainer.init_state(resume=True)
+    total_steps = int(jax.device_get(state.step))
+    extractor = recognizer_features(trainer.models.recognizer,
+                                    state.r_params, state.r_stats)
+
+    n = args.eval_samples
+    rng = np.random.default_rng(123)
+    real_imgs = []
+    while sum(len(x) for x in real_imgs) < n:
+        imgs, _, _ = trainer.dataset.sample_batch(64, bucket=EVAL_BUCKET)
+        real_imgs.append(imgs)
+    real_imgs = np.concatenate(real_imgs)[:n]
+
+    eval_labels = sample_fake_labels(rng, trainer.random_words, n, EVAL_BUCKET)
+    style_idx = rng.integers(0, len(trainer.style_train), size=n)
+    eval_style = np.stack([trainer.style_train[i] for i in style_idx])[..., None]
+    eval_style = eval_style.astype(np.float32)
+    eval_z = rng.standard_normal((n, cfg.shared.latent_dim)).astype(np.float32)
+
+    # CER of the final recognizer on REAL data (constant per run)
+    rec = trainer.models.recognizer
+    rec_vars = {"params": state.r_params, "batch_stats": state.r_stats}
+    t_frames = 4 * EVAL_BUCKET - 1
+    real_b, real_lab = [], []
+    while sum(len(x) for x in real_b) < n:
+        imgs, labs, _ = trainer.dataset.sample_batch(64, bucket=EVAL_BUCKET)
+        real_b.append(imgs)
+        real_lab.append(labs)
+    real_b = np.concatenate(real_b)[:n]
+    real_lab = np.concatenate(real_lab)[:n]
+    logits = np.concatenate([
+        np.asarray(rec.apply(rec_vars, real_b[i:i + 64], train=False))
+        for i in range(0, n, 64)])
+    preds = greedy_ctc_decode(logits, np.full((n,), t_frames, np.int32))
+    cer_real = character_error_rate(preds, [list(l) for l in real_lab])
+    print(f"cer_real (final R on real data): {cer_real:.4f}", flush=True)
+
+    gen_root = os.path.join(trainer.model_path, "generator")
+    epochs_avail = sorted(int(d) for d in os.listdir(gen_root) if d.isdigit())
+    rows = []
+    out_jsonl = os.path.join(workdir, "quality.jsonl")
+    with open(out_jsonl, "w") as f:
+        for ep in epochs_avail:
+            variables = ckpt_lib.load_generator(os.path.join(gen_root, str(ep)))
+            gen = generate_batched(trainer, variables, eval_labels, eval_style,
+                                   eval_z)
+            rfid = compute_rfid(gen, real_imgs, extractor, batch_size=64)
+            g_logits = np.concatenate([
+                np.asarray(rec.apply(rec_vars, gen[i:i + 64], train=False))
+                for i in range(0, n, 64)])
+            g_preds = greedy_ctc_decode(
+                g_logits, np.full((n,), t_frames, np.int32))
+            want = [[cfg.io.char_vec[c] for c in row] for row in eval_labels]
+            cer_gen = character_error_rate(g_preds, want)
+            row = {"run": args.run, "epoch": ep, "rfid": round(rfid, 4),
+                   "cer_gen": round(cer_gen, 4), "cer_real": round(cer_real, 4),
+                   "num_samples": n, "bucket": EVAL_BUCKET,
+                   "total_steps": total_steps,
+                   "train_secs": round(train_secs, 1)}
+            rows.append(row)
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            print(json.dumps(row), flush=True)
+
+    # ------------------------------------------------------------------ curve
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax1 = plt.subplots(figsize=(7, 4))
+        eps = [r["epoch"] for r in rows]
+        ax1.plot(eps, [r["rfid"] for r in rows], "o-", color="#1f77b4",
+                 label="rFID")
+        ax1.set_xlabel("epoch")
+        ax1.set_ylabel("rFID (final-R features)", color="#1f77b4")
+        ax1.set_yscale("log")
+        ax2 = ax1.twinx()
+        ax2.plot(eps, [r["cer_gen"] for r in rows], "s--", color="#d62728",
+                 label="CER on generated")
+        ax2.axhline(cer_real, color="#2ca02c", lw=1, ls=":",
+                    label=f"CER on real = {cer_real:.3f}")
+        ax2.set_ylabel("CER", color="#d62728")
+        ax2.set_ylim(0, 1.05)
+        lines = ax1.get_lines() + ax2.get_lines()
+        ax1.legend(lines, [l.get_label() for l in lines], loc="upper right",
+                   fontsize=8)
+        ax1.set_title(f"quality campaign: {args.run}")
+        fig.tight_layout()
+        out_png = os.path.join(workdir, "quality_curve.png")
+        fig.savefig(out_png, dpi=120)
+        print(f"wrote {out_png}", flush=True)
+    except Exception as e:  # curve is a nicety; numbers are the deliverable
+        print(f"curve plot failed: {e}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

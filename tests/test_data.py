@@ -157,3 +157,40 @@ class TestConverter:
         img = read_grayscale(str(out / "3" / "w1.png"))
         assert img.shape == (32, 48)
         assert (out / "3" / "w1.txt").read_text() == "cat"
+
+
+class TestRimesConverter:
+    def test_groundtruth_parsing(self, tmp_path):
+        from scrabblegan_tpu.data.iam import parse_rimes_groundtruth
+
+        gt = tmp_path / "ground_truth.txt"
+        gt.write_text(
+            "images/lot_1/word-001.png bonjour\n"
+            "images/lot_2/word-002.png le\n"
+            "malformed_line_without_word\n"
+        )
+        tr = parse_rimes_groundtruth(str(gt))
+        assert tr["word-001.png"] == "bonjour"
+        assert tr["word-002.png"] == "le"
+        assert len(tr) == 2
+
+    def test_init_reading_rimes_end_to_end(self, tmp_path):
+        """Fabricated mini-RIMES tree -> bucketed GAN-Reading output; the
+        second concrete dataset handler the dinterface layer was designed for
+        (reference README:58; the reference never shipped it)."""
+        from scrabblegan_tpu.data.iam import DATASET_HANDLERS
+
+        raw = tmp_path / "rimes"
+        (raw / "images").mkdir(parents=True)
+        write_grayscale(str(raw / "images" / "r1.png"), np.full((60, 120), 90.0))
+        write_grayscale(str(raw / "images" / "r2.png"), np.full((30, 80), 90.0))
+        (raw / "ground_truth.txt").write_text(
+            "images/r1.png merci\nimages/r2.png No7\n")  # second filtered
+        out = tmp_path / "reading"
+        n, lengths = DATASET_HANDLERS["rimes"](
+            str(raw), str(out), (32, 160, 1), 10)
+        assert n == 1
+        assert lengths[5] == 1
+        img = read_grayscale(str(out / "5" / "r1.png"))
+        assert img.shape == (32, 80)  # 16px/char * 5 chars
+        assert (out / "5" / "r1.txt").read_text() == "merci"

@@ -114,6 +114,44 @@ class TestTrainRun:
         assert os.path.exists(
             os.path.join(trainer.gen_path, "image_at_epoch_0001.png"))
 
+    def test_sync_pipeline_matches_prefetched(self, cfg, tmp_path_factory):
+        """prefetch_depth=0 (synchronous host path) must produce the same
+        batch stream as the default background prefetcher — both draw from the
+        same np_rng sequence."""
+        from scrabblegan_tpu.train.loop import Trainer, _Prefetcher
+
+        data_root = str(tmp_path_factory.mktemp("data_sync"))
+        read_dir, words_file, style_dir = make_synthetic_dataset(
+            data_root, samples_per_bucket=4, bucket_size=3)
+
+        def batches(depth):
+            t = Trainer(cfg, workdir=str(tmp_path_factory.mktemp("wd")),
+                        verbose=False)
+            t.load_data(read_dir=read_dir, style_dir=style_dir,
+                        words_file=words_file)
+            if depth == 0:
+                return [np.asarray(t._assemble()["real_imgs"])
+                        for _ in range(4)]
+            pf = _Prefetcher(lambda: t._assemble(), depth=depth)
+            try:
+                return [np.asarray(pf.get()["real_imgs"]) for _ in range(4)]
+            finally:
+                pf.close()
+
+        for a, b in zip(batches(0), batches(2)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetcher_propagates_errors(self):
+        from scrabblegan_tpu.train.loop import _Prefetcher
+
+        def boom():
+            raise ValueError("producer failed")
+
+        pf = _Prefetcher(boom, depth=2)
+        with pytest.raises(ValueError, match="producer failed"):
+            pf.get()
+        pf.close()
+
     def test_inference_on_export(self, trained, cfg):
         """infer.py path: word string -> images via the latest export."""
         trainer, _ = trained

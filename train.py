@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batches-per-epoch", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="trace the first N train dispatches with jax.profiler "
+                        "(written to <workdir>/output/trace) and print steps/s")
     p.add_argument("--synthetic", action="store_true",
                    help="generate and train on a synthetic dataset fixture")
     return p.parse_args(argv)
@@ -60,14 +63,15 @@ def main(argv=None):
     else:
         if not os.path.exists(cfg.io.read_dir):
             print("converting dataset to GAN-Reading format...")
-            from scrabblegan_tpu.data.iam import init_reading
+            from scrabblegan_tpu.data.iam import DATASET_HANDLERS
 
-            init_reading(cfg.io.raw_dir, cfg.io.read_dir, cfg.io.input_dim,
-                         cfg.io.bucket_size)
+            DATASET_HANDLERS[cfg.io.dataset](
+                cfg.io.raw_dir, cfg.io.read_dir, cfg.io.input_dim,
+                cfg.io.bucket_size)
         trainer.load_data()
 
     trainer.train(epochs=args.epochs, batches_per_epoch=args.batches_per_epoch,
-                  resume=not args.no_resume)
+                  resume=not args.no_resume, profile_steps=args.profile)
     return 0
 
 
