@@ -128,6 +128,12 @@ class ParallelConfig:
     # numpy assembly and the H2D transfer with device compute. 0 = synchronous
     # (round-1 behavior).
     prefetch_depth: int = 2
+    # Host->device wire format for image tensors: 'uint8' ships raw bytes and
+    # normalizes to [-1,1] on-device inside the jitted step (3.7x less H2D
+    # traffic; exact numerics for real images, which are uint8 on disk; style
+    # images quantize by <=0.5/127.5 vs the float32 host path). 'float32'
+    # restores the exact round-1 wire format.
+    transfer_dtype: str = "uint8"
 
 
 @dataclass(frozen=True)

@@ -103,15 +103,21 @@ class BucketedDataset:
         """Bucket index (1-based) drawn by population weight (data_utils.py:64)."""
         return int(self._rng.choice(self.bucket_size, p=self.bucket_weights)) + 1
 
-    def sample_batch(self, batch_size: int, bucket: int | None = None
-                     ) -> Tuple[np.ndarray, np.ndarray, int]:
+    def sample_batch(self, batch_size: int, bucket: int | None = None,
+                     raw: bool = False) -> Tuple[np.ndarray, np.ndarray, int]:
         """Returns (images (B, 32, 16*bucket, 1) in [-1,1], labels (B, bucket), bucket).
 
-        Samples WITH replacement inside the bucket (data_utils.py:70-74)."""
+        Samples WITH replacement inside the bucket (data_utils.py:70-74).
+        raw=True skips the host normalize and returns the gathered uint8 bytes
+        (the 'uint8' wire format; the jitted step normalizes on-device with the
+        identical formula)."""
         if bucket is None:
             bucket = self.sample_bucket()
         n = len(self.labels[bucket])
         idx = self._rng.integers(0, n, size=batch_size)
+        if raw:
+            return (self.images[bucket][idx].copy(),
+                    self.labels[bucket][idx].copy(), bucket)
         if self.use_native:
             from scrabblegan_tpu.data import native
 

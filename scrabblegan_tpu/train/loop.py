@@ -24,6 +24,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from scrabblegan_tpu.config import Config
@@ -41,6 +42,7 @@ from scrabblegan_tpu.parallel.mesh import (
 )
 from scrabblegan_tpu.train import checkpoint as ckpt_lib
 from scrabblegan_tpu.train.metrics import SummaryWriter
+from scrabblegan_tpu.train.step import METRIC_NAMES
 from scrabblegan_tpu.train.state import TrainState, build_models, create_train_state, param_count
 from scrabblegan_tpu.utils.viz import make_gif, save_epoch_grid
 
@@ -117,6 +119,9 @@ class Trainer:
         else:
             self._bsh = batch_sharding(self.mesh)
         self.np_rng = np.random.default_rng(cfg.seed)
+        # 'uint8' wire format: batches ship raw bytes; the jitted step
+        # normalizes on-device (step.normalize_batch_images)
+        self._u8 = cfg.parallel.transfer_dtype == "uint8"
 
     # ------------------------------------------------------------------ setup
     def init_state(self, resume: bool = True) -> TrainState:
@@ -152,6 +157,10 @@ class Trainer:
             self.style_validate = self.style_train[:1]
         self.random_words = load_random_word_list(words_file, cfg.io.bucket_size,
                                                   cfg.io.char_vec)
+        if self._u8:  # quantized style bank for the uint8 wire format
+            self._style_u8 = np.clip(
+                np.rint(np.stack(self.style_train) * 127.5 + 127.5),
+                0, 255).astype(np.uint8)
         # fixed visualization seed (main.py:104-108)
         k = cfg.shared.num_gen
         idx = self.np_rng.integers(0, len(self.style_validate), size=k)
@@ -177,7 +186,8 @@ class Trainer:
         bsz = cfg.shared.batch_size
         if bucket is None and cfg.io.seq_len:
             bucket = int(cfg.io.seq_len)  # fixed-length runs (io.seq_len gin key)
-        real_imgs, real_labels, bucket = self.dataset.sample_batch(bsz, bucket=bucket)
+        real_imgs, real_labels, bucket = self.dataset.sample_batch(
+            bsz, bucket=bucket, raw=self._u8)
         if fake_bucket is None:
             if cfg.io.seq_len:
                 fake_bucket = int(cfg.io.seq_len)
@@ -188,11 +198,15 @@ class Trainer:
         fake_labels = sample_fake_labels(self.np_rng, self.random_words, bsz,
                                          fake_bucket)
         style_idx = self.np_rng.integers(0, len(self.style_train), size=bsz)
-        style_imgs = np.stack([self.style_train[i] for i in style_idx])[..., None]
+        if self._u8:
+            style_imgs = self._style_u8[style_idx][..., None]
+        else:
+            style_imgs = np.stack(
+                [self.style_train[i] for i in style_idx])[..., None].astype(np.float32)
         batch = {
             "real_imgs": real_imgs,
             "real_labels": real_labels,
-            "style_imgs": style_imgs.astype(np.float32),
+            "style_imgs": style_imgs,
             "fake_labels": fake_labels,
         }
         if cfg.parallel.shape_mode == "padded":
@@ -229,8 +243,9 @@ class Trainer:
             pad_w = w_max - imgs.shape[2]
             if pad_w <= 0:
                 return imgs
+            fill = 255 if imgs.dtype == np.uint8 else 1.0  # white either way
             return np.pad(imgs, ((0, 0), (0, 0), (0, pad_w), (0, 0)),
-                          constant_values=1.0)  # white in [-1, 1]
+                          constant_values=fill)
 
         def pad_labels(labels):
             pad_l = l_max - labels.shape[1]
@@ -277,24 +292,39 @@ class Trainer:
         if self.verbose and k > 1 and batches_per_epoch % k:
             print(f"steps_per_call={k}: epoch rounded to {calls_per_epoch * k} batches")
 
+        # Metric fetch batching: device_get of a dict of 16 tiny scalars costs
+        # one tunnel round trip PER ARRAY on this backend (~150 ms/step measured
+        # — it capped the e2e rate at 5-14 steps/s vs 28 raw). Stack K steps'
+        # metrics into ONE device array and fetch that: one round trip per
+        # flush_every dispatches. log_every=1 keeps per-step flushes (the
+        # reference's per-step print parity costs what it costs).
+        flush_every = max(1, min(32, log_every))
+        stack_metrics = jax.jit(lambda ms: jnp.stack(
+            [jnp.stack([m[name] for name in METRIC_NAMES]) for m in ms]))
+
         def flush_pending(pending):
-            """Fetch a previous dispatch's (tiny) metrics and log them — one
-            call late so the device is never idle waiting on the host."""
-            e_idx, call_idx, m = pending
-            m = jax.device_get(m)
-            rows = [m] if k == 1 else [
-                {key: v[i] for key, v in m.items()} for i in range(k)]
-            for i, row in enumerate(rows):
-                b_idx = call_idx * k + i
-                writer.write_batch(e_idx, b_idx, row)
-                if self.verbose and (b_idx + 1) % log_every == 0:
-                    print(
-                        f">{e_idx + 1}, {b_idx + 1}/{calls_per_epoch * k}, "
-                        f"d={row['d_loss']:.3f}, d_real={row['d_loss_real']:.3f}, "
-                        f"d_fake={row['d_loss_fake']:.3f}, g_trad={row['g_loss']:.3f}, "
-                        f"r_loss_fake={row['r_loss_fake']:.3f}, "
-                        f"g_loss={row['g_loss_final']:.3f}, "
-                        f"r={row['r_loss_real']:.3f}, s={row['s_loss_real']:.3f}")
+            """Fetch the stacked metrics of a block of completed dispatches and
+            log/record each step's row."""
+            if not pending:
+                return
+            stacked = np.asarray(jax.device_get(
+                stack_metrics([m for (_, _, m) in pending])))
+            for (e_idx, call_idx, _), vec in zip(pending, stacked):
+                # vec: (16,) for k == 1, (16, k) for chunked dispatches
+                rows = ([dict(zip(METRIC_NAMES, vec))] if k == 1 else
+                        [{name: vec[j, i] for j, name in enumerate(METRIC_NAMES)}
+                         for i in range(k)])
+                for i, row in enumerate(rows):
+                    b_idx = call_idx * k + i
+                    writer.write_batch(e_idx, b_idx, row)
+                    if self.verbose and (b_idx + 1) % log_every == 0:
+                        print(
+                            f">{e_idx + 1}, {b_idx + 1}/{calls_per_epoch * k}, "
+                            f"d={row['d_loss']:.3f}, d_real={row['d_loss_real']:.3f}, "
+                            f"d_fake={row['d_loss_fake']:.3f}, g_trad={row['g_loss']:.3f}, "
+                            f"r_loss_fake={row['r_loss_fake']:.3f}, "
+                            f"g_loss={row['g_loss_final']:.3f}, "
+                            f"r={row['r_loss_real']:.3f}, s={row['s_loss_real']:.3f}")
 
         if profile_steps:
             # --profile N: capture a jax.profiler trace of N real train
@@ -324,7 +354,7 @@ class Trainer:
         try:
             for epoch_idx in range(start_epoch, epochs):
                 t0 = time.time()
-                pending = None
+                pending = []
                 next_batch = (prefetcher.get() if prefetcher
                               else self.next_batch())
                 for call_idx in range(calls_per_epoch):
@@ -337,11 +367,13 @@ class Trainer:
                     if call_idx + 1 < calls_per_epoch:
                         next_batch = (prefetcher.get() if prefetcher
                                       else self.next_batch())
-                    if pending is not None:
-                        flush_pending(pending)
-                    pending = (epoch_idx, call_idx, metrics)
-                if pending is not None:
-                    flush_pending(pending)
+                    pending.append((epoch_idx, call_idx, metrics))
+                    if len(pending) > flush_every:
+                        # keep the newest dispatch out of the fetch so the
+                        # device stays one step ahead of the host
+                        flush_pending(pending[:-1])
+                        pending = pending[-1:]
+                flush_pending(pending)
                 writer.end_epoch()
 
                 jax.block_until_ready(state)

@@ -50,6 +50,19 @@ METRIC_NAMES = (
 _sg = jax.lax.stop_gradient
 
 
+def normalize_batch_images(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """uint8 wire format (parallel.transfer_dtype): image tensors may arrive as
+    raw bytes; normalize to [-1, 1] on-device with exactly the host formula
+    ((x - 127.5) / 127.5, loaders.py:121). XLA fuses this into the first conv.
+    float32 inputs pass through untouched."""
+    out = dict(batch)
+    for k in ("real_imgs", "style_imgs"):
+        v = out.get(k)
+        if v is not None and jnp.issubdtype(v.dtype, jnp.integer):
+            out[k] = (v.astype(jnp.float32) - 127.5) / 127.5
+    return out
+
+
 def make_train_step(cfg: Config, models: ModelBundle):
     """Returns step(state, batch, rng) -> (state, metrics dict of scalars).
 
@@ -225,6 +238,7 @@ def make_train_step(cfg: Config, models: ModelBundle):
 
     def step(state: TrainState, batch: Dict[str, Any], rng: jax.Array
              ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        batch = normalize_batch_images(batch)
         trainable = (state.g_params, state.d_params, state.r_params, state.w_params)
         grads, (metrics, muts) = jax.grad(forward_losses, has_aux=True)(
             trainable, state, batch, rng)
