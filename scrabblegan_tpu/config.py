@@ -103,6 +103,12 @@ class IOConfig:
     # Per-batch console logging cadence: None = throttled to ~10 lines/epoch;
     # 1 = the reference's per-step 10-stat print (data_utils.py:444-446).
     log_every: Optional[int] = None
+    # Full-train-state Orbax checkpoint cadence in epochs (the final epoch is
+    # always saved). The per-epoch generator-only export (the reference's
+    # save_weights parity, data_utils.py:346-348) is unaffected. On a remote
+    # TPU tunnel the full-state D2H fetch is ~GBs — raise this when resume
+    # granularity matters less than wall clock.
+    ckpt_every: int = 1
 
 
 @dataclass(frozen=True)

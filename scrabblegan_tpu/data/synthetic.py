@@ -39,13 +39,66 @@ def _draw_word(word: str, h: int = 32) -> np.ndarray:
     return img
 
 
+def _glyph_control_points(code: int, n_strokes: int = 3):
+    """Deterministic per-character stroke skeleton: `n_strokes` quadratic
+    Beziers in a unit cell, keyed by the char code. Class identity lives
+    here; per-sample variation is added on top in `_draw_word_script`."""
+    g = np.random.default_rng(7919 * (code + 1) + 13)
+    pts = g.uniform(0.12, 0.88, size=(n_strokes, 3, 2))
+    # connect strokes so glyphs read as one cursive mark, not scattered arcs
+    for s in range(1, n_strokes):
+        pts[s, 0] = pts[s - 1, 2]
+    return pts
+
+
+def _draw_word_script(word: str, rng: np.random.Generator,
+                      h: int = 32) -> np.ndarray:
+    """Handwriting-like rendering: per-char Bezier strokes with PER-SAMPLE
+    random slant, stroke thickness, control-point jitter, and baseline shift —
+    a nontrivial intra-class distribution for the GAN to learn (the stripes
+    style is a delta function per class; this one is not)."""
+    cw = h // 2
+    w = cw * len(word)
+    img = np.full((h, w), 255.0, np.float32)
+    slant = rng.uniform(-0.30, 0.30)             # shear, shared across the word
+    thick = rng.uniform(0.7, 1.5)                # stroke sigma (pixels)
+    base = rng.uniform(-2.0, 2.0)                # baseline shift (pixels)
+    yy = np.arange(h, dtype=np.float32)[:, None]
+    xx = np.arange(cw, dtype=np.float32)[None, :]
+    t = np.linspace(0.0, 1.0, 48, dtype=np.float32)[:, None]
+    for i, ch in enumerate(word):
+        code = CHAR_VECTOR.index(ch) if ch in CHAR_VECTOR else 0
+        cps = _glyph_control_points(code)
+        cps = cps + rng.normal(0, 0.045, size=cps.shape)   # per-sample jitter
+        ink = np.zeros((h, cw), np.float32)
+        for p0, p1, p2 in cps:
+            b = ((1 - t) ** 2 * p0 + 2 * t * (1 - t) * p1 + t ** 2 * p2)
+            px = b[:, 0] * (cw - 1)                        # (T,)
+            py = b[:, 1] * (h - 1) + base
+            px = px + slant * (py - h / 2)                 # shear about center
+            d2 = ((yy[..., None] - py) ** 2 +
+                  (xx[..., None] - px) ** 2)               # (h, cw, T)
+            ink = np.maximum(ink, np.exp(-d2 / (2 * thick ** 2)).max(-1))
+        x0 = i * cw
+        img[:, x0:x0 + cw] = np.minimum(img[:, x0:x0 + cw],
+                                        255.0 * (1.0 - ink))
+    return img
+
+
 def make_synthetic_dataset(root: str, samples_per_bucket: int = 8,
                            bucket_size: int = 10, h: int = 32,
-                           seed: int = 0) -> Tuple[str, str, str]:
+                           seed: int = 0,
+                           style: str = "stripes") -> Tuple[str, str, str]:
     """Create <root>/words-Reading/{1..bucket_size}/ + a lexicon + style images.
 
+    style: "stripes" (deterministic textures; fast, used by tests/bench) or
+    "script" (Bezier pseudo-handwriting with per-sample slant/thickness/jitter;
+    used by the quality campaign — gives the GAN a real distribution to model).
     Returns (read_dir, words_file, style_dir)."""
     rng = np.random.default_rng(seed)
+    if style not in ("stripes", "script"):
+        raise ValueError(f"unknown synthetic style {style!r}")
+    script = style == "script"
     read_dir = os.path.join(root, "words-Reading")
     style_dir = os.path.join(root, "style_imgs")
     words_file = os.path.join(root, "random_words.txt")
@@ -59,8 +112,9 @@ def make_synthetic_dataset(root: str, samples_per_bucket: int = 8,
         for s in range(samples_per_bucket):
             word = "".join(rng.choice(chars, size=b))
             lexicon.add(word)
-            img = _draw_word(word, h)
-            noise = rng.normal(0, 8, img.shape)
+            img = (_draw_word_script(word, rng, h) if script
+                   else _draw_word(word, h))
+            noise = rng.normal(0, 4 if script else 8, img.shape)
             write_grayscale(os.path.join(bucket_dir, f"s{b}_{s}.png"), img + noise)
             with open(os.path.join(bucket_dir, f"s{b}_{s}.txt"), "w") as f:
                 f.write(word)
@@ -70,6 +124,7 @@ def make_synthetic_dataset(root: str, samples_per_bucket: int = 8,
 
     for s in range(12):
         word = "".join(rng.choice(chars, size=int(rng.integers(3, 10))))
-        img = _draw_word(word, h)
+        img = (_draw_word_script(word, rng, h) if script
+               else _draw_word(word, h))
         write_grayscale(os.path.join(style_dir, f"style_{s}.png"), img)
     return read_dir, words_file, style_dir

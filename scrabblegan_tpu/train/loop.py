@@ -382,7 +382,8 @@ class Trainer:
                     print(f"Time for epoch {epoch_idx + 1} is "
                           f"{self.last_epoch_secs:.1f} sec")
 
-                self.save_epoch_artifacts(state, epoch_idx + 1)
+                self.save_epoch_artifacts(state, epoch_idx + 1,
+                                          final=epoch_idx + 1 == epochs)
         finally:
             if prefetcher is not None:
                 prefetcher.close()
@@ -392,15 +393,25 @@ class Trainer:
         return state
 
     # ----------------------------------------------------------------- extras
-    def save_epoch_artifacts(self, state: TrainState, epoch: int) -> None:
+    def save_epoch_artifacts(self, state: TrainState, epoch: int,
+                             final: bool = True) -> None:
         imgs = self.generate(state, self.seed_labels, self.seed_style,
                              z=getattr(self, "seed_z", None))
         save_epoch_grid(np.asarray(imgs), self.seed_labels, self.gen_path, epoch,
                         self.cfg.io.char_vec)
-        ckpt_lib.save_state(self.ckpt_path, jax.device_get(state),
-                            int(jax.device_get(state.step)))
-        ckpt_lib.save_generator(self.model_path, jax.device_get(state.g_params),
-                                jax.device_get(state.g_stats), epoch)
+        # Full-state fetch is ~GBs over a remote-tunnel backend; honor
+        # io.ckpt_every (final epoch always saved), and reuse the host copy
+        # for the G-only export instead of fetching G twice.
+        host_state = None
+        if final or epoch % max(1, int(self.cfg.io.ckpt_every)) == 0:
+            host_state = jax.device_get(state)
+            ckpt_lib.save_state(self.ckpt_path, host_state,
+                                int(host_state.step))
+        if host_state is not None:
+            g_params, g_stats = host_state.g_params, host_state.g_stats
+        else:
+            g_params, g_stats = jax.device_get((state.g_params, state.g_stats))
+        ckpt_lib.save_generator(self.model_path, g_params, g_stats, epoch)
 
     def generate(self, state: TrainState, labels: np.ndarray,
                  style_imgs: Optional[np.ndarray] = None,

@@ -65,7 +65,8 @@ RUNS = {
 EVAL_BUCKET = 5  # fixed word length for rFID/CER batches
 
 
-def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7):
+def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7,
+                   style: str = "script"):
     """Scaled synthetic dataset shared by all runs (10 buckets)."""
     from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
 
@@ -77,11 +78,11 @@ def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7):
         if n >= samples_per_bucket:
             return (read_dir, os.path.join(data_root, "random_words.txt"),
                     os.path.join(data_root, "style_imgs"))
-    print(f"building synthetic dataset ({samples_per_bucket}/bucket)...",
-          flush=True)
+    print(f"building synthetic dataset ({samples_per_bucket}/bucket, "
+          f"style={style})...", flush=True)
     return make_synthetic_dataset(data_root,
                                   samples_per_bucket=samples_per_bucket,
-                                  bucket_size=10, seed=seed)
+                                  bucket_size=10, seed=seed, style=style)
 
 
 def generate_batched(trainer, variables, labels, style_imgs, z, chunk=64):
@@ -108,6 +109,10 @@ def main(argv=None):
     p.add_argument("--batches-per-epoch", type=int, default=2500)
     p.add_argument("--eval-samples", type=int, default=512)
     p.add_argument("--samples-per-bucket", type=int, default=800)
+    p.add_argument("--data-style", default="script",
+                   choices=("stripes", "script"),
+                   help="synthetic rendering: 'script' = Bezier "
+                        "pseudo-handwriting with per-sample variation")
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; re-score existing epoch exports")
     args = p.parse_args(argv)
@@ -132,10 +137,14 @@ def main(argv=None):
     enable_compilation_cache()
     print(f"backend: {jax.default_backend()}", flush=True)
 
-    cfg = load_config(None, dict(RUNS[args.run]))
+    overrides = dict(RUNS[args.run])
+    # full-state checkpoints are a multi-GB D2H fetch per save on the tunnel
+    # backend; the per-epoch G-only export (what the eval scores) stays at 1
+    overrides.setdefault("io.ckpt_every", 5)
+    cfg = load_config(None, overrides)
     workdir = os.path.join(args.root, args.run)
     read_dir, words_file, style_dir = ensure_dataset(
-        args.root, args.samples_per_bucket)
+        args.root, args.samples_per_bucket, style=args.data_style)
 
     trainer = Trainer(cfg, workdir=workdir)
     trainer.load_data(read_dir=read_dir, style_dir=style_dir,

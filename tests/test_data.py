@@ -52,6 +52,37 @@ class TestSyntheticFormat:
             assert img.shape == (32, 16 * b)  # 16px per char at 32px height
 
 
+class TestScriptStyle:
+    def test_script_dataset_geometry_and_variation(self, tmp_path):
+        read_dir, words_file, style_dir = make_synthetic_dataset(
+            str(tmp_path), samples_per_bucket=4, bucket_size=3, style="script")
+        img = None
+        for b in range(1, 4):
+            files = sorted(os.listdir(os.path.join(read_dir, str(b))))
+            pngs = [f for f in files if f.endswith(".png")]
+            assert len(pngs) == 4
+            img = read_grayscale(os.path.join(read_dir, str(b), pngs[0]))
+            assert img.shape == (32, 16 * b)
+        assert img.min() < 80 and img.max() > 200  # real ink on white
+
+    def test_same_word_varies_but_class_is_stable(self):
+        from scrabblegan_tpu.data.synthetic import _draw_word_script
+
+        rng = np.random.default_rng(0)
+        a = _draw_word_script("abc", rng)
+        b = _draw_word_script("abc", rng)
+        # per-sample slant/jitter: two draws differ materially
+        assert np.abs(a - b).mean() > 1.0
+        # but determinism holds for a fixed generator state
+        c = _draw_word_script("abc", np.random.default_rng(5))
+        d = _draw_word_script("abc", np.random.default_rng(5))
+        np.testing.assert_array_equal(c, d)
+
+    def test_unknown_style_rejected(self, tmp_path):
+        with pytest.raises(ValueError):
+            make_synthetic_dataset(str(tmp_path), style="cursive")
+
+
 class TestBucketedDataset:
     def test_shapes_and_range(self, synth):
         read_dir, _, _ = synth
