@@ -36,8 +36,23 @@ class OptimizerConfig:
     lr_schedule: str = "constant"
     warmup_steps: int = 1000
     decay_steps: int = 50240  # reference total: 10 epochs x 5024 steps
-    # Reproduce the reference call-site style-loss argument-order bug
-    # (SURVEY.md defect #2) instead of the intended semantics.
+    # Style-promoter (W) objective wiring. The reference's call site and its
+    # variable names disagree (SURVEY.md defect #2), and the two readings have
+    # very different dynamics — measured in the round-2 quality campaign:
+    #   'adversarial' (default): W trains style-imgs(1) vs GENERATED(0); G
+    #       maximizes W(G(z)). A sound GAN pairing: W tracks whatever G
+    #       produces, so G must move toward the style distribution.
+    #   'style_vs_iam': the literal reading of the reference's variable names —
+    #       W trains style(1) vs IAM(0) and never sees G's outputs. UNSOUND:
+    #       G drives W's logit on generated images unboundedly positive
+    #       (off-manifold exploit) -> logit runaway -> NaN (observed at ~16k
+    #       steps, docs/QUALITY.md).
+    #   'bug_compatible': the reference call-site wiring (data_utils.py:418
+    #       vs :409-410): W trains style(1) vs generated(0), but G's style
+    #       term is computed on IAM logits — constant w.r.t. G, so G gets
+    #       ZERO style gradient (W is a spectator for G).
+    style_loss_mode: str = "adversarial"
+    # Deprecated alias: True forces style_loss_mode='bug_compatible'.
     bug_compatible_style_loss: bool = False
 
 

@@ -6,11 +6,13 @@ Reference parity notes (net_loss.py:4-54 + call site data_utils.py:409-418):
   crash (SURVEY.md defect #1). Here both losses take the same 5 logits.
 - The reference call site passes style-promoter logits in the wrong order
   (SURVEY.md defect #2), so W is effectively trained style-imgs(1) vs GENERATED(0)
-  and G's style gradient is zero. The intended semantics (per the reference's own
-  parameter names) are: W separates style images (label 1) from IAM training images
-  (label 0); G maximizes W(G(.)). This module implements the intended semantics;
-  the train step exposes `bug_compatible_style_loss` to reproduce the reference's
-  effective wiring for bit-level behavioral parity experiments.
+  and G's style gradient is zero. The literal reading of the reference's parameter
+  names (W separates style images from IAM images; G maximizes W(G(.))) is
+  adversarially UNSOUND — W never sees G's outputs, and G exploits it into logit
+  runaway (measured: NaN at ~16k steps, docs/QUALITY.md). The loss functions here
+  are mode-agnostic per-logit primitives; the train step's
+  `optimizer.style_loss_mode` selects the wiring ('adversarial' default /
+  'style_vs_iam' / 'bug_compatible' — see config.py for the analysis).
 
 Each loss returns the reference's 7-tuple of PER-SAMPLE vectors:
 (d_loss, d_loss_real, d_loss_fake, g_loss, s_loss, s_loss_pos, s_loss_neg).

@@ -122,6 +122,9 @@ class Trainer:
         # 'uint8' wire format: batches ship raw bytes; the jitted step
         # normalizes on-device (step.normalize_batch_images)
         self._u8 = cfg.parallel.transfer_dtype == "uint8"
+        # (epoch_idx, batch_idx) of the first non-finite metric, if training
+        # diverged (the loop stops instead of training on NaN)
+        self.diverged_at = None
 
     # ------------------------------------------------------------------ setup
     def init_state(self, resume: bool = True) -> TrainState:
@@ -302,6 +305,11 @@ class Trainer:
         stack_metrics = jax.jit(lambda ms: jnp.stack(
             [jnp.stack([m[name] for name in METRIC_NAMES]) for m in ms]))
 
+        # Divergence guard: a NaN/Inf step poisons every later step, so detect
+        # it at metric-flush time and stop the run with the last good epoch's
+        # artifacts intact (the reference would silently train on NaN).
+        diverged = [None]
+
         def flush_pending(pending):
             """Fetch the stacked metrics of a block of completed dispatches and
             log/record each step's row."""
@@ -317,6 +325,10 @@ class Trainer:
                 for i, row in enumerate(rows):
                     b_idx = call_idx * k + i
                     writer.write_batch(e_idx, b_idx, row)
+                    if diverged[0] is None and not (
+                            np.isfinite(row["g_loss_final"])
+                            and np.isfinite(row["d_loss"])):
+                        diverged[0] = (e_idx, b_idx)
                     if self.verbose and (b_idx + 1) % log_every == 0:
                         print(
                             f">{e_idx + 1}, {b_idx + 1}/{calls_per_epoch * k}, "
@@ -373,6 +385,8 @@ class Trainer:
                         # device stays one step ahead of the host
                         flush_pending(pending[:-1])
                         pending = pending[-1:]
+                    if diverged[0] is not None:
+                        break
                 flush_pending(pending)
                 writer.end_epoch()
 
@@ -382,6 +396,13 @@ class Trainer:
                     print(f"Time for epoch {epoch_idx + 1} is "
                           f"{self.last_epoch_secs:.1f} sec")
 
+                if diverged[0] is not None:
+                    self.diverged_at = diverged[0]
+                    print(f"DIVERGED: non-finite metrics at epoch "
+                          f"{diverged[0][0] + 1} batch {diverged[0][1] + 1}; "
+                          f"stopping (state not saved — last good export: "
+                          f"epoch {epoch_idx})")
+                    break
                 self.save_epoch_artifacts(state, epoch_idx + 1,
                                           final=epoch_idx + 1 == epochs)
         finally:

@@ -76,6 +76,10 @@ def make_train_step(cfg: Config, models: ModelBundle):
     """
     disc_loss_fn = DISC_LOSS_REGISTRY[cfg.optimizer.loss_fn]
     gen_loss_fn = GEN_LOSS_REGISTRY[cfg.optimizer.loss_fn]
+    if cfg.optimizer.style_loss_mode not in (
+            "adversarial", "style_vs_iam", "bug_compatible"):
+        raise ValueError(
+            f"unknown style_loss_mode {cfg.optimizer.style_loss_mode!r}")
     opts = make_optimizers(cfg)
     o = cfg.optimizer
     my_rec = cfg.shared.my_rec
@@ -183,12 +187,20 @@ def make_train_step(cfg: Config, models: ModelBundle):
             r_muts = {"batch_stats": state.r_stats}
 
         # --- adversarial losses ---
-        if o.bug_compatible_style_loss:
-            # reference call-site wiring (SURVEY.md defect #2): W trained
-            # style(1) vs GENERATED(0); G's style term on IAM logits (zero grad)
+        # Style-promoter wiring (config.OptimizerConfig.style_loss_mode for
+        # the three modes and why 'style_vs_iam' diverges; SURVEY.md defect #2)
+        mode = ("bug_compatible" if o.bug_compatible_style_loss
+                else o.style_loss_mode)
+        if mode == "bug_compatible":
+            # reference call-site wiring: W trained style(1) vs GENERATED(0);
+            # G's style term on IAM logits (zero grad — W is a spectator for G)
             s_neg, s_for_g = s_gen_for_w, _sg(s_iam)
-        else:
+        elif mode == "style_vs_iam":
+            # literal reading of the reference's variable names; W never sees
+            # G's outputs -> G exploits it unboundedly (see config docstring)
             s_neg, s_for_g = s_iam, s_fake_for_g
+        else:  # 'adversarial': sound pairing — W tracks G, G gets live grads
+            s_neg, s_for_g = s_gen_for_w, s_fake_for_g
 
         # D-update view (d_fake through D params, G frozen)
         d_loss, d_loss_real, d_loss_fake = disc_loss_fn(d_real, d_fake_for_d)

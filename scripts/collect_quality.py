@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Collect quality-campaign artifacts into docs/quality/ (committed evidence).
+
+Copies each run's quality.jsonl + quality_curve.png + first/mid/last epoch
+sample grids out of the (gitignored) runs/ tree, and writes a summary table
+to docs/quality/RESULTS.md. docs/QUALITY.md narrates these numbers.
+
+Usage: python scripts/collect_quality.py [--root runs/quality] [--out docs/quality]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+
+
+def collect_run(run_dir: str, name: str, out_dir: str):
+    rows = []
+    qj = os.path.join(run_dir, "quality.jsonl")
+    if not os.path.exists(qj):
+        return None
+    with open(qj) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    if not rows:
+        return None
+    os.makedirs(out_dir, exist_ok=True)
+    shutil.copy(qj, os.path.join(out_dir, f"{name}.jsonl"))
+    curve = os.path.join(run_dir, "quality_curve.png")
+    if os.path.exists(curve):
+        shutil.copy(curve, os.path.join(out_dir, f"{name}_curve.png"))
+    # epoch grids: first / mid / last available
+    grids = sorted(fn for fn in os.listdir(os.path.join(run_dir, "output"))
+                   if fn.startswith("image_at_epoch_") and fn.endswith(".png"))
+    picks = sorted({0, len(grids) // 2, len(grids) - 1}) if grids else []
+    for i in picks:
+        src = os.path.join(run_dir, "output", grids[i])
+        shutil.copy(src, os.path.join(out_dir, f"{name}_{grids[i]}"))
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", default="runs/quality")
+    p.add_argument("--out", default="docs/quality")
+    args = p.parse_args(argv)
+
+    runs = sorted(d for d in os.listdir(args.root)
+                  if os.path.isdir(os.path.join(args.root, d)) and d != "data")
+    summary = {}
+    for name in runs:
+        rows = collect_run(os.path.join(args.root, name), name, args.out)
+        if rows:
+            summary[name] = rows
+
+    lines = ["# Quality campaign results (auto-collected)", "",
+             "Per-run epoch curves; rFID = Fréchet distance over the final",
+             "recognizer's pooled conv features (frozen across epochs),",
+             "cer_gen = CER of that recognizer reading generated images,",
+             "cer_real = its CER on real data (the floor).", ""]
+    for name, rows in summary.items():
+        first, last = rows[0], rows[-1]
+        best = min(rows, key=lambda r: r["rfid"])
+        lines += [f"## {name}", "",
+                  f"- epochs scored: {len(rows)}; samples/epoch: "
+                  f"{last['num_samples']} (len-{last['bucket']} words)",
+                  f"- rFID: {first['rfid']:.3f} (ep {first['epoch']}) -> "
+                  f"{last['rfid']:.3f} (ep {last['epoch']}); best "
+                  f"{best['rfid']:.3f} @ ep {best['epoch']}",
+                  f"- cer_gen: {first['cer_gen']:.3f} -> {last['cer_gen']:.3f}"
+                  f"; cer_real {last['cer_real']:.3f}",
+                  f"- train wall: {last.get('train_secs', 0):.0f}s "
+                  f"({last.get('total_steps', '?')} steps)", "",
+                  "| epoch | rFID | cer_gen |", "|---|---|---|"]
+        lines += [f"| {r['epoch']} | {r['rfid']:.3f} | {r['cer_gen']:.3f} |"
+                  for r in rows]
+        lines.append("")
+    out_md = os.path.join(args.out, "RESULTS.md")
+    os.makedirs(args.out, exist_ok=True)
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_md} ({len(summary)} runs)")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -23,7 +23,13 @@ Runs (all 10 epochs x 2500 steps, batch 16, unless overridden):
   pm        padded + matched pairing (style z) — single-compile baseline arm
   pi        padded + INDEPENDENT pairing (reference fake-bucket semantics,
             data_utils.py:385-387) — A/B vs pm for pairing dynamics
-  bugstyle  pm + bug_compatible_style_loss (reference defect #2 wiring A/B)
+  bugstyle  pm + bug_compatible style wiring (reference defect #2 A/B: W
+            trains style-vs-generated but G gets zero style gradient)
+
+All arms otherwise use style_loss_mode='adversarial' (the sound pairing). The
+naive 'style_vs_iam' reading was run once and DIVERGED (G exploits a W that
+never sees generated images; NaN at ~16k steps) — evidence preserved in
+docs/quality/style_vs_iam_divergence.tsv; it is not re-run.
 
 The pairing and style-loss A/Bs run in 'padded' shape mode deliberately: one
 XLA compilation per arm instead of up to 100 (real,fake) bucket-pair

@@ -152,6 +152,42 @@ class TestTrainRun:
             pf.get()
         pf.close()
 
+    def test_divergence_guard_stops_run(self, trained, cfg, tmp_path_factory):
+        """A non-finite metric must stop the loop (diverged_at set) without
+        saving the poisoned state as that epoch's artifacts."""
+        import jax.numpy as jnp
+
+        from scrabblegan_tpu.train.loop import Trainer
+
+        src_trainer, state = trained
+        workdir = str(tmp_path_factory.mktemp("run_nan"))
+        trainer = Trainer(cfg, workdir=workdir, verbose=False)
+        # reuse the trained fixture's loaded data and state; fake a step fn
+        # that returns NaN metrics on the second call
+        for attr in ("dataset", "style_train", "style_validate", "random_words",
+                     "seed_style", "seed_labels", "seed_z"):
+            if hasattr(src_trainer, attr):
+                setattr(trainer, attr, getattr(src_trainer, attr))
+        if getattr(trainer, "_u8", False):
+            trainer._style_u8 = src_trainer._style_u8
+        calls = [0]
+
+        def fake_step(st, batch, rng):
+            calls[0] += 1
+            bad = jnp.float32(jnp.nan) if calls[0] >= 2 else jnp.float32(0.5)
+            from scrabblegan_tpu.train.step import METRIC_NAMES
+
+            return st, {name: bad for name in METRIC_NAMES}
+
+        trainer.step_fn = fake_step
+        trainer.init_state = lambda resume=True: state
+        trainer.train(epochs=2, batches_per_epoch=3, resume=False)
+        assert trainer.diverged_at is not None
+        assert trainer.diverged_at[0] == 0  # first epoch
+        # the poisoned epoch saved no artifacts
+        assert not os.path.exists(
+            os.path.join(trainer.gen_path, "image_at_epoch_0001.png"))
+
     def test_inference_on_export(self, trained, cfg):
         """infer.py path: word string -> images via the latest export."""
         trainer, _ = trained

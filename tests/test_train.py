@@ -127,6 +127,67 @@ class TestGradientBalance:
                                    float(m2["g_loss_added"]), rtol=1e-6)
 
 
+class TestStyleLossModes:
+    """Gradient-routing matrix of OptimizerConfig.style_loss_mode (SURVEY.md
+    defect #2; the modes' dynamics are documented in config.py):
+
+    - G's update: 'adversarial' == 'style_vs_iam' (both feed s_fake_for_g to
+      G) but != 'bug_compatible' (G's style grad is zero there).
+    - W's update: 'adversarial' == 'bug_compatible' (both train W style-vs-
+      generated) but != 'style_vs_iam' (negatives are IAM images).
+    - D and R updates: identical across all three modes.
+    """
+
+    @pytest.fixture(scope="class")
+    def mode_states(self):
+        models = build_models(tiny_cfg())
+        state = create_train_state(tiny_cfg(), jax.random.PRNGKey(0), models)
+        batch, key = make_batch(), jax.random.PRNGKey(2)
+        out = {}
+        for mode in ("adversarial", "style_vs_iam", "bug_compatible"):
+            step = jax.jit(make_train_step(
+                tiny_cfg(style_loss_mode=mode), models))
+            out[mode] = step(state, batch, key)[0]
+        return out
+
+    def test_g_routing(self, mode_states):
+        adv, naive, bug = (mode_states[m] for m in
+                           ("adversarial", "style_vs_iam", "bug_compatible"))
+        assert _delta(adv.g_params, naive.g_params) < 1e-6
+        assert _delta(adv.g_params, bug.g_params) > 1e-6
+
+    def test_w_routing(self, mode_states):
+        adv, naive, bug = (mode_states[m] for m in
+                           ("adversarial", "style_vs_iam", "bug_compatible"))
+        assert _delta(adv.w_params, bug.w_params) < 1e-6
+        assert _delta(adv.w_params, naive.w_params) > 1e-6
+
+    def test_d_r_invariant(self, mode_states):
+        adv, naive, bug = (mode_states[m] for m in
+                           ("adversarial", "style_vs_iam", "bug_compatible"))
+        for other in (naive, bug):
+            assert _delta(adv.d_params, other.d_params) < 1e-6
+            assert _delta(adv.r_params, other.r_params) < 1e-6
+
+    def test_deprecated_alias(self):
+        models = build_models(tiny_cfg())
+        state = create_train_state(tiny_cfg(), jax.random.PRNGKey(0), models)
+        batch, key = make_batch(), jax.random.PRNGKey(2)
+        s_flag = jax.jit(make_train_step(
+            tiny_cfg(bug_compatible_style_loss=True), models))(
+                state, batch, key)[0]
+        s_mode = jax.jit(make_train_step(
+            tiny_cfg(style_loss_mode="bug_compatible"), models))(
+                state, batch, key)[0]
+        assert _delta(s_flag.g_params, s_mode.g_params) == 0.0
+        assert _delta(s_flag.w_params, s_mode.w_params) == 0.0
+
+    def test_unknown_mode_rejected(self):
+        with pytest.raises(ValueError):
+            make_train_step(tiny_cfg(style_loss_mode="nope"),
+                            build_models(tiny_cfg()))
+
+
 class TestParallel:
     def test_mesh8_matches_mesh1(self):
         """SURVEY.md §5 parity criterion: same numerics as the single-device step
