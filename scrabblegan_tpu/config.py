@@ -31,6 +31,16 @@ class OptimizerConfig:
     disc_iters: int = 1
     apply_gradient_balance: bool = False
     balance_alpha: float = 1.0
+    # How the CTC-on-fake term is balanced against the adversarial G-loss when
+    # apply_gradient_balance is on:
+    #   'loss_rescale': the REFERENCE's formulation (data_utils.py:476-490) —
+    #       rescale the CTC loss by std(g_loss)/std(r_fake). Fragile: a
+    #       saturated D collapses std(g_loss) and with it the CTC weight
+    #       (measured, docs/QUALITY.md).
+    #   'grad_norm': the PAPER's formulation (arXiv:2003.10557) — rescale the
+    #       CTC gradient w.r.t. the generated IMAGE to match the adversarial
+    #       image-gradient's std (ops/balance.balanced_fanout custom VJP).
+    balance_mode: str = "loss_rescale"
     rmsprop: bool = False  # RMSprop for the recognizer (reference main.py:29-32)
     # LR schedule: 'constant' (reference parity) | 'cosine' | 'warmup_cosine'.
     lr_schedule: str = "constant"

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from scrabblegan_tpu.config import Config
-from scrabblegan_tpu.ops.balance import gradient_balance
+from scrabblegan_tpu.ops.balance import balanced_fanout, gradient_balance
 from scrabblegan_tpu.ops.ctc import ctc_loss
 from scrabblegan_tpu.ops.losses import DISC_LOSS_REGISTRY, GEN_LOSS_REGISTRY
 from scrabblegan_tpu.train.state import ModelBundle, TrainState, make_optimizers
@@ -80,6 +80,12 @@ def make_train_step(cfg: Config, models: ModelBundle):
             "adversarial", "style_vs_iam", "bug_compatible"):
         raise ValueError(
             f"unknown style_loss_mode {cfg.optimizer.style_loss_mode!r}")
+    if cfg.optimizer.balance_mode not in ("loss_rescale", "grad_norm"):
+        raise ValueError(
+            f"unknown balance_mode {cfg.optimizer.balance_mode!r}")
+    grad_norm_balance = (cfg.shared.use_recognizer
+                        and cfg.optimizer.apply_gradient_balance
+                        and cfg.optimizer.balance_mode == "grad_norm")
     opts = make_optimizers(cfg)
     o = cfg.optimizer
     my_rec = cfg.shared.my_rec
@@ -133,6 +139,17 @@ def make_train_step(cfg: Config, models: ModelBundle):
         gen_imgs, g_muts = g_forward(gp, state.g_stats, fake_labels, cond,
                                      fake_lengths if padded else None)
 
+        # balance_mode='grad_norm': the G-view adversarial passes and the
+        # CTC-on-fake pass read the generated images through separate branches
+        # of a balancing fanout; values are identical, but the backward
+        # combines the two image-cotangents per the paper's gradient-norm
+        # formula instead of summing them (ops/balance.balanced_fanout)
+        if grad_norm_balance:
+            gen_for_adv, gen_for_ctc = balanced_fanout(gen_imgs,
+                                                       o.balance_alpha)
+        else:
+            gen_for_adv = gen_for_ctc = gen_imgs
+
         # --- D passes ---
         d_vars = {"params": dp, "batch_stats": state.d_stats}
         d_real, d_muts = D.apply(d_vars, real_imgs, True, width_mask=mask_real,
@@ -140,7 +157,7 @@ def make_train_step(cfg: Config, models: ModelBundle):
         d_fake_for_d, _ = D.apply(d_vars, _sg(gen_imgs), True, width_mask=mask_fake,
                                   mutable=["batch_stats"])
         d_fake_for_g, _ = D.apply({"params": _sg(dp), "batch_stats": state.d_stats},
-                                  gen_imgs, True, width_mask=mask_fake,
+                                  gen_for_adv, True, width_mask=mask_fake,
                                   mutable=["batch_stats"])
 
         # --- W passes (skipped entirely under the G+D-only ablation) ---
@@ -155,7 +172,8 @@ def make_train_step(cfg: Config, models: ModelBundle):
                                      mutable=["batch_stats"])
             s_fake_for_g, _ = W.apply(
                 {"params": _sg(wp), "batch_stats": state.w_stats},
-                gen_imgs, True, width_mask=mask_fake, mutable=["batch_stats"])
+                gen_for_adv, True, width_mask=mask_fake,
+                mutable=["batch_stats"])
         else:
             zeros = jnp.zeros((bsz,), jnp.float32)
             s_style = s_iam = s_gen_for_w = s_fake_for_g = zeros
@@ -173,7 +191,7 @@ def make_train_step(cfg: Config, models: ModelBundle):
         if use_r:
             r_logits_fake, _ = R.apply(
                 {"params": _sg(rp), "batch_stats": state.r_stats},
-                gen_imgs, True, mutable=["batch_stats"],
+                gen_for_ctc, True, mutable=["batch_stats"],
                 rngs={"dropout": rng_drop})
             r_fake = ctc_loss(r_logits_fake, fake_labels, inp_len_fake,
                               lab_len_fake)
@@ -213,7 +231,17 @@ def make_train_step(cfg: Config, models: ModelBundle):
             s_loss = s_loss_pos = s_loss_neg = jnp.zeros((bsz,), jnp.float32)
 
         # gradient balancing (data_utils.py:421-427,476-490)
-        if use_r:
+        if grad_norm_balance:
+            # 'grad_norm': the VALUE is the plain sum — the balancing lives in
+            # balanced_fanout's backward (image-cotangent rescale). The scale
+            # is a backward-only quantity; report the loss-space stds for
+            # observability column parity.
+            g_added = g_loss + r_fake
+            g_balanced = g_final = g_added
+            r_balanced = r_fake
+            alpha = o.balance_alpha
+            r_fake_std, g_loss_std = jnp.std(r_fake), jnp.std(g_loss)
+        elif use_r:
             g_balanced, r_balanced, alpha, r_fake_std, g_loss_std = \
                 gradient_balance(r_fake, g_loss, alpha=o.balance_alpha)
             g_added = g_loss + r_fake

@@ -59,6 +59,12 @@ RUNS = {
     "c4m": {},
     "c3": {"shared.z_source": "noise", "parallel.shape_mode": "padded",
            "optimizer.apply_gradient_balance": True},
+    # c3 with the PAPER's gradient balancing instead of the reference's
+    # loss rescaling (optimizer.balance_mode docstring) — A/B for the
+    # loss_rescale CTC-weight collapse under a saturated D
+    "c3g": {"shared.z_source": "noise", "parallel.shape_mode": "padded",
+            "optimizer.apply_gradient_balance": True,
+            "optimizer.balance_mode": "grad_norm"},
     "pm": {"parallel.shape_mode": "padded",
            "parallel.bucket_pairing": "matched"},
     "pi": {"parallel.shape_mode": "padded",
@@ -123,6 +129,14 @@ def main(argv=None):
                    help="skip training; re-score existing epoch exports")
     args = p.parse_args(argv)
 
+    import faulthandler
+    import signal
+
+    # `kill -USR1 <pid>` dumps all Python thread stacks to stderr without
+    # killing the run — the tunnel backend can stall and this is the only
+    # non-destructive way to see where (py-spy is not in this image)
+    faulthandler.register(signal.SIGUSR1)
+
     from scrabblegan_tpu.utils.platform import apply_env_platform
 
     apply_env_platform()
@@ -145,8 +159,10 @@ def main(argv=None):
 
     overrides = dict(RUNS[args.run])
     # full-state checkpoints are a multi-GB D2H fetch per save on the tunnel
-    # backend; the per-epoch G-only export (what the eval scores) stays at 1
-    overrides.setdefault("io.ckpt_every", 5)
+    # backend; the per-epoch G-only export (what the eval scores) stays at 1.
+    # Every 3 epochs bounds the rework after a watchdog restart
+    # (run_campaign.sh) to <3 epochs while keeping the fetch overhead ~10%.
+    overrides.setdefault("io.ckpt_every", 3)
     cfg = load_config(None, overrides)
     workdir = os.path.join(args.root, args.run)
     read_dir, words_file, style_dir = ensure_dataset(
@@ -216,7 +232,9 @@ def main(argv=None):
                 for i in range(0, n, 64)])
             g_preds = greedy_ctc_decode(
                 g_logits, np.full((n,), t_frames, np.int32))
-            want = [[cfg.io.char_vec[c] for c in row] for row in eval_labels]
+            # decode returns char IDS; compare ids-to-ids (eval_labels are
+            # already encoded rows)
+            want = [list(map(int, row)) for row in eval_labels]
             cer_gen = character_error_rate(g_preds, want)
             row = {"run": args.run, "epoch": ep, "rfid": round(rfid, 4),
                    "cer_gen": round(cer_gen, 4), "cer_real": round(cer_real, 4),

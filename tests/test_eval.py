@@ -78,3 +78,17 @@ class TestDecode:
         cer = character_error_rate([[0, 1, 2]], [[0, 1, 3]])
         assert abs(cer - 1 / 3) < 1e-9
         assert character_error_rate([[0]], [[0]]) == 0.0
+
+    def test_decode_returns_int_ids(self):
+        """Pins the id convention: decode emits CHAR IDS, so CER references
+        must be id sequences too — comparing against char STRINGS silently
+        reports CER=1.0 for a perfect model (a real bug the first campaign
+        eval shipped with)."""
+        logits = np.full((1, 3, 4), -10.0, np.float32)
+        logits[0, 0, 2] = 10.0
+        logits[0, 1, 3] = 10.0
+        logits[0, 2, 2] = 10.0
+        (seq,) = greedy_ctc_decode(logits)
+        assert seq == [2, 2] and all(isinstance(x, int) for x in seq)
+        assert character_error_rate([seq], [[2, 2]]) == 0.0
+        assert character_error_rate([seq], [["c", "c"]]) == 1.0

@@ -60,6 +60,36 @@ class TestBalance:
         np.testing.assert_allclose(rb, [2.0, 6.0])
         np.testing.assert_allclose(gb, [2.0, 10.0])
 
+    def test_image_gradient_balance(self):
+        from scrabblegan_tpu.ops.balance import balance_image_gradients
+
+        adv = jnp.array([0.0, 4.0])   # std 2
+        ctc = jnp.array([1.0, 3.0])   # std 1
+        combined, scale = balance_image_gradients(adv, ctc, alpha=0.5)
+        np.testing.assert_allclose(scale, 1.0, rtol=1e-6)
+        np.testing.assert_allclose(combined, [1.0, 7.0], rtol=1e-6)
+
+    def test_balanced_fanout_backward(self):
+        """The fanout is identity forward; backward combines the two branch
+        cotangents as adv + alpha*(std(adv)/std(ctc))*ctc."""
+        from scrabblegan_tpu.ops.balance import balanced_fanout
+
+        x = jnp.arange(6, dtype=jnp.float32).reshape(2, 3)
+        c_adv = jnp.array([[1.0, 0.0, 2.0], [0.0, 1.0, 3.0]])
+        c_ctc = jnp.array([[0.5, 0.5, 0.5], [2.0, 0.0, 1.0]])
+
+        def f(x):
+            a, c = balanced_fanout(x, 1.0)
+            return jnp.sum(a * c_adv) + jnp.sum(c * c_ctc)
+
+        ya, yc = balanced_fanout(x, 1.0)
+        np.testing.assert_array_equal(np.asarray(ya), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(yc), np.asarray(x))
+        got = jax.grad(f)(x)
+        scale = float(jnp.std(c_adv) / (jnp.std(c_ctc) + 1e-12))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(c_adv + scale * c_ctc), rtol=1e-6)
+
 
 class TestCTC:
     def test_perfect_prediction_low_loss(self):

@@ -126,6 +126,34 @@ class TestGradientBalance:
         np.testing.assert_allclose(float(m2["g_loss_final"]),
                                    float(m2["g_loss_added"]), rtol=1e-6)
 
+    def test_grad_norm_mode_routes_only_g(self):
+        """balance_mode='grad_norm' rescales G's image-cotangents in the
+        backward only: metrics and D/R/W updates match loss_rescale-off
+        exactly (the fanout is identity forward; their grads never cross it),
+        while G's update differs."""
+        models = build_models(tiny_cfg())
+        state = create_train_state(tiny_cfg(), jax.random.PRNGKey(0), models)
+        batch, key = make_batch(), jax.random.PRNGKey(2)
+        s_plain, m_plain = jax.jit(make_train_step(
+            tiny_cfg(), models))(state, batch, key)
+        s_gn, m_gn = jax.jit(make_train_step(
+            tiny_cfg(apply_gradient_balance=True, balance_mode="grad_norm"),
+            models))(state, batch, key)
+        # value path: plain sum in both
+        np.testing.assert_allclose(float(m_gn["g_loss_final"]),
+                                   float(m_plain["g_loss_added"]), rtol=1e-5)
+        for k in ("d_loss", "r_loss_real", "s_loss"):
+            np.testing.assert_allclose(float(m_gn[k]), float(m_plain[k]),
+                                       rtol=1e-6)
+        # D/R/W gradients don't cross the fanout
+        assert _delta(s_gn.d_params, s_plain.d_params) < 1e-7
+        assert _delta(s_gn.r_params, s_plain.r_params) < 1e-7
+        assert _delta(s_gn.w_params, s_plain.w_params) < 1e-7
+        # G's gradient is rescaled
+        assert _delta(s_gn.g_params, s_plain.g_params) > 1e-7
+        for k, v in m_gn.items():
+            assert np.isfinite(float(v)), k
+
 
 class TestStyleLossModes:
     """Gradient-routing matrix of OptimizerConfig.style_loss_mode (SURVEY.md
