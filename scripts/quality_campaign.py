@@ -97,18 +97,27 @@ def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7,
                                   bucket_size=10, seed=seed, style=style)
 
 
-def generate_batched(trainer, variables, labels, style_imgs, z, chunk=64):
-    """Inference-mode generation through an epoch's exported G variables."""
+def make_jit_generate(trainer):
+    """Jitted inference-mode G apply — un-jitted Module.apply dispatches
+    op-by-op, which over the remote tunnel costs a round trip per op
+    (measured: ~4 min/epoch eval; jitted: seconds)."""
+    import jax
+
     cfg = trainer.cfg
+    if cfg.shared.z_source == "style":
+        return jax.jit(lambda v, labels, cond: trainer.models.generator.apply(
+            v, labels, train=False, style_imgs=cond))
+    return jax.jit(lambda v, labels, cond: trainer.models.generator.apply(
+        v, labels, train=False, z=cond))
+
+
+def generate_batched(jit_gen, cfg, variables, labels, style_imgs, z, chunk=64):
+    """Inference-mode generation through an epoch's exported G variables."""
     outs = []
     for i in range(0, len(labels), chunk):
-        kwargs = {}
-        if cfg.shared.z_source == "style":
-            kwargs["style_imgs"] = style_imgs[i:i + chunk]
-        else:
-            kwargs["z"] = z[i:i + chunk]
-        out = trainer.models.generator.apply(
-            variables, labels[i:i + chunk], train=False, **kwargs)
+        cond = (style_imgs[i:i + chunk] if cfg.shared.z_source == "style"
+                else z[i:i + chunk])
+        out = jit_gen(variables, labels[i:i + chunk], cond)
         outs.append(np.asarray(out, np.float32))
     return np.concatenate(outs, 0)
 
@@ -202,6 +211,8 @@ def main(argv=None):
     # CER of the final recognizer on REAL data (constant per run)
     rec = trainer.models.recognizer
     rec_vars = {"params": state.r_params, "batch_stats": state.r_stats}
+    jit_rec = jax.jit(lambda v, imgs: rec.apply(v, imgs, train=False))
+    jit_gen = make_jit_generate(trainer)
     t_frames = 4 * EVAL_BUCKET - 1
     real_b, real_lab = [], []
     while sum(len(x) for x in real_b) < n:
@@ -211,7 +222,7 @@ def main(argv=None):
     real_b = np.concatenate(real_b)[:n]
     real_lab = np.concatenate(real_lab)[:n]
     logits = np.concatenate([
-        np.asarray(rec.apply(rec_vars, real_b[i:i + 64], train=False))
+        np.asarray(jit_rec(rec_vars, real_b[i:i + 64]))
         for i in range(0, n, 64)])
     preds = greedy_ctc_decode(logits, np.full((n,), t_frames, np.int32))
     cer_real = character_error_rate(preds, [list(l) for l in real_lab])
@@ -224,11 +235,11 @@ def main(argv=None):
     with open(out_jsonl, "w") as f:
         for ep in epochs_avail:
             variables = ckpt_lib.load_generator(os.path.join(gen_root, str(ep)))
-            gen = generate_batched(trainer, variables, eval_labels, eval_style,
-                                   eval_z)
+            gen = generate_batched(jit_gen, cfg, variables, eval_labels,
+                                   eval_style, eval_z)
             rfid = compute_rfid(gen, real_imgs, extractor, batch_size=64)
             g_logits = np.concatenate([
-                np.asarray(rec.apply(rec_vars, gen[i:i + 64], train=False))
+                np.asarray(jit_rec(rec_vars, gen[i:i + 64]))
                 for i in range(0, n, 64)])
             g_preds = greedy_ctc_decode(
                 g_logits, np.full((n,), t_frames, np.int32))

@@ -14,7 +14,7 @@ RUNS=("${@:-c3 pm pi bugstyle c4m}")
 if [ "${#RUNS[@]}" -eq 1 ]; then RUNS=(${RUNS[0]}); fi
 EPOCHS="${EPOCHS:-10}"
 BPE="${BPE:-2500}"
-STALL_S="${STALL_S:-900}"   # > the longest observed remote compile
+STALL_S="${STALL_S:-1800}"  # > the longest observed remote compile (~15 min cold)
 TRIES="${TRIES:-3}"
 mkdir -p "$ROOT"
 LOG="$ROOT/campaign.log"
@@ -24,6 +24,10 @@ run_one() {
   for attempt in $(seq 1 "$TRIES"); do
     echo "=== campaign run: $RUN attempt $attempt ($(date)) ===" | tee -a "$LOG"
     mkdir -p "$ROOT/$RUN"
+    # heartbeat: a fresh run dir has no files yet (first writes come after
+    # model init + remote compile), which would read as a "stall" at the
+    # first check — give the window a starting timestamp
+    touch "$ROOT/$RUN/.heartbeat"
     python scripts/quality_campaign.py --run "$RUN" --root "$ROOT" \
         --epochs "$EPOCHS" --batches-per-epoch "$BPE" >> "$LOG" 2>&1 &
     local PID=$!
