@@ -91,6 +91,13 @@ class SharedSpecs:
     # inference and +13% train step on TPU; transparently falls back to the
     # pure-XLA path off-TPU or on non-tileable shapes.
     use_pallas_attention: bool = True
+    # Up-block ConvTranspose lowering: 'dilated' (stock nn.ConvTranspose) |
+    # 'subpixel' (exact parity-phase decomposition, ops/subpixel.py).
+    # Measured on v5e (2026-08-17): XLA already lowers the input-dilated conv
+    # efficiently; subpixel's depth-to-space interleave costs an extra HBM
+    # round trip per up-block and is 0.82x at inference, 0.99x on the train
+    # step — so 'dilated' stays the default. Checkpoints are interchangeable.
+    conv_lowering: str = "dilated"
     # Rematerialize the generator forward in the backward pass
     # (jax.checkpoint): trades ~1 extra G forward for not storing its
     # activations — enables much larger batches.

@@ -78,6 +78,7 @@ class Generator(nn.Module):
     img_height: int = 32
     use_sn: bool = True
     use_pallas_attention: bool = False
+    conv_lowering: str = "dilated"  # up-block ConvTranspose lowering (ops/subpixel.py)
     # 'padded' shape mode: one extra filter-bank row serves as the PAD token
     # (id == vocab_size) so every batch can be label-padded to a single static
     # length; pass `lengths` to whiten the image beyond 16*len px.
@@ -126,7 +127,8 @@ class Generator(nn.Module):
             name = f"B{idx + 1}"
             is_last = idx == num_blocks - 1
             net = ResNetBlockUp(
-                feats, is_last_block=is_last, use_sn=self.use_sn, dtype=self.dtype,
+                feats, is_last_block=is_last, use_sn=self.use_sn,
+                conv_lowering=self.conv_lowering, dtype=self.dtype,
                 name=f"up_{name}",
             )(net, z_per_block[idx], train)
             if name in self.blocks_with_attention:

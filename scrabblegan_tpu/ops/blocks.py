@@ -57,6 +57,7 @@ class ResNetBlockUp(nn.Module):
     features: int
     is_last_block: bool = False
     use_sn: bool = True
+    conv_lowering: str = "dilated"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -66,14 +67,16 @@ class ResNetBlockUp(nn.Module):
         h = ConditionalBatchNorm(use_sn=self.use_sn, dtype=self.dtype, name="cbn1")(x, cond, train)
         h = nn.relu(h)
         h = SNConvTranspose(
-            self.features, (3, 3), strides=strides, use_sn=self.use_sn, dtype=self.dtype, name="upconv"
+            self.features, (3, 3), strides=strides, use_sn=self.use_sn,
+            lowering=self.conv_lowering, dtype=self.dtype, name="upconv"
         )(h, train)
         h = ConditionalBatchNorm(use_sn=self.use_sn, dtype=self.dtype, name="cbn2")(h, cond, train)
         h = nn.relu(h)
         h = SNConv(self.features, (3, 3), use_sn=self.use_sn, dtype=self.dtype, name="conv")(h, train)
 
         shortcut = SNConvTranspose(
-            self.features, (1, 1), strides=strides, use_sn=self.use_sn, dtype=self.dtype, name="skip"
+            self.features, (1, 1), strides=strides, use_sn=self.use_sn,
+            lowering=self.conv_lowering, dtype=self.dtype, name="skip"
         )(x, train)
         return h + shortcut
 

@@ -56,26 +56,50 @@ class SNConvTranspose(nn.Module):
     """Transposed conv (upsampling) with orthogonal init and optional spectral norm.
 
     Reference uses layers.Conv2DTranspose with 'same' padding so output spatial dims
-    are exactly input * stride (resnet_ops.py:57-59,69-72)."""
+    are exactly input * stride (resnet_ops.py:57-59,69-72).
+
+    lowering='subpixel' computes the identical function as a dense stride-1
+    conv over output-parity phases + depth-to-space (ops/subpixel.py, exactness
+    tested); 'dilated' (default) is the stock nn.ConvTranspose path. Measured
+    on v5e: XLA's dilated lowering wins (subpixel 0.82x inference / 0.99x train
+    — the interleave is an extra HBM pass), hence the default. Both share one
+    param tree (inner module is named ConvTranspose_0 either way), so
+    checkpoints are interchangeable."""
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
     strides: Tuple[int, int] = (2, 2)
     use_bias: bool = True
     use_sn: bool = True
+    lowering: str = "dilated"  # 'dilated' | 'subpixel'
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        conv = nn.ConvTranspose(
-            self.features,
-            self.kernel_size,
-            strides=self.strides,
-            padding="SAME",
-            use_bias=self.use_bias,
-            kernel_init=orthogonal_init(),
-            dtype=self.dtype,
-        )
+        if self.lowering == "subpixel":
+            from scrabblegan_tpu.ops.subpixel import SubpixelConvTranspose
+
+            conv = SubpixelConvTranspose(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="ConvTranspose_0",
+            )
+        elif self.lowering == "dilated":
+            conv = nn.ConvTranspose(
+                self.features,
+                self.kernel_size,
+                strides=self.strides,
+                padding="SAME",
+                use_bias=self.use_bias,
+                kernel_init=orthogonal_init(),
+                dtype=self.dtype,
+                name="ConvTranspose_0",
+            )
+        else:
+            raise ValueError(f"Unknown conv-transpose lowering: {self.lowering!r}")
         if self.use_sn:
             return nn.SpectralNorm(conv)(x, update_stats=train)
         return conv(x)

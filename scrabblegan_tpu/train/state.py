@@ -71,6 +71,7 @@ def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> Model
         img_height=h,
         use_sn=use_sn,
         use_pallas_attention=use_pallas_attention,
+        conv_lowering=cfg.shared.conv_lowering,
         # 'padded' mode label-pads every word to one static length; the pad id
         # (== n_classes) gets its own filter-bank row
         num_pad_tokens=1 if cfg.parallel.shape_mode == "padded" else 0,

@@ -214,3 +214,53 @@ class TestSpectralNorm:
             )
         )
         assert all(unchanged)
+
+
+class TestSubpixelConvTranspose:
+    """The 'subpixel' lowering must be the same function as nn.ConvTranspose
+    (SAME padding) for every (stride, kernel) shape the generator uses."""
+
+    CASES = [((2, 2), (3, 3)), ((2, 2), (1, 1)), ((2, 1), (3, 3)), ((2, 1), (1, 1))]
+
+    @pytest.mark.parametrize("strides,ksize", CASES)
+    def test_matches_dilated_lowering(self, rng, strides, ksize):
+        from scrabblegan_tpu.ops.layers import SNConvTranspose
+
+        x = jax.random.normal(rng, (2, 4, 6, 16))
+        ref = SNConvTranspose(8, ksize, strides=strides, use_sn=False, lowering="dilated")
+        sub = SNConvTranspose(8, ksize, strides=strides, use_sn=False, lowering="subpixel")
+        v = ref.init(rng, x, True)
+        y_ref = ref.apply(v, x, True)
+        y_sub = sub.apply(v, x, True)  # identical param tree by construction
+        assert y_sub.shape == (2, 4 * strides[0], 6 * strides[1], 8)
+        np.testing.assert_allclose(y_sub, y_ref, atol=2e-5, rtol=1e-5)
+
+    def test_gradients_match(self, rng):
+        from scrabblegan_tpu.ops.layers import SNConvTranspose
+
+        x = jax.random.normal(rng, (2, 4, 6, 16))
+        v = SNConvTranspose(8, (3, 3), strides=(2, 2), use_sn=False,
+                            lowering="dilated").init(rng, x, True)
+
+        def loss(variables, x, lowering):
+            layer = SNConvTranspose(8, (3, 3), strides=(2, 2), use_sn=False,
+                                    lowering=lowering)
+            y = layer.apply(variables, x, True)
+            return jnp.sum(y * y)
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(v, x, "dilated")
+        g_sub = jax.grad(loss, argnums=(0, 1))(v, x, "subpixel")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4),
+            g_ref, g_sub,
+        )
+
+    def test_spectral_norm_state_shared(self, rng):
+        from scrabblegan_tpu.ops.layers import SNConvTranspose
+
+        x = jax.random.normal(rng, (2, 4, 6, 16))
+        v_ref = SNConvTranspose(8, (3, 3), use_sn=True, lowering="dilated").init(rng, x, True)
+        v_sub = SNConvTranspose(8, (3, 3), use_sn=True, lowering="subpixel").init(rng, x, True)
+        ref_paths = {jax.tree_util.keystr(k) for k, _ in jax.tree_util.tree_leaves_with_path(v_ref)}
+        sub_paths = {jax.tree_util.keystr(k) for k, _ in jax.tree_util.tree_leaves_with_path(v_sub)}
+        assert ref_paths == sub_paths  # checkpoints interchangeable
