@@ -39,14 +39,22 @@ def _attention_kernel(theta_ref, phi_ref, g_ref, out_ref):
     phi = phi_ref[0]
     g = g_ref[0]
 
+    # fold ln->log2 conversion into the (QB, Ca) operand (free) so the
+    # softmax exponential is a bare exp2 with no per-element multiply over
+    # the (QB, K) score matrix; softmax is shift-invariant so the max
+    # subtraction commutes with the scaling
+    theta = theta * jnp.asarray(1.4426950408889634, theta.dtype)  # log2(e)
     scores = jax.lax.dot_general(
         theta, phi, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (QB, K) f32
+    )  # (QB, K) f32, in log2 units
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
-    out = jnp.dot(attn.astype(theta.dtype), g, preferred_element_type=jnp.float32)
-    out_ref[0] = out.astype(out_ref.dtype)
+    e = jnp.exp2(scores - m)
+    s = jnp.sum(e, axis=-1, keepdims=True)
+    # defer the softmax normalization past the value matmul (exact by
+    # linearity): divides the (QB, Cg) output instead of the (QB, K) weight
+    # matrix — K/Cg fewer VPU divides (20x at len-5)
+    out = jnp.dot(e.astype(theta.dtype), g, preferred_element_type=jnp.float32)
+    out_ref[0] = (out / s).astype(out_ref.dtype)
 
 
 def _xla_attention(theta, phi, g):
@@ -58,15 +66,18 @@ def _xla_attention(theta, phi, g):
 
 
 def _pick_q_block(q: int, k: int) -> int:
-    """Largest divisor-of-Q block whose f32 score tile fits a ~6MB VMEM budget.
+    """Largest divisor-of-Q block whose f32 score tile fits a ~12MB VMEM budget.
     Fat blocks matter more than tiling finesse here: per-invocation grid
-    overhead dominates these small-channel matmuls (measured on v5e)."""
-    budget = 6 * 1024 * 1024
+    overhead dominates these small-channel matmuls (measured on v5e). Any
+    divisor is eligible (generator widths are 2^a*5*L, so the best block is
+    often not a power of two: len-5 q=2560 -> 2560, one invocation per image)."""
+    budget = 12 * 1024 * 1024
     max_qb = max(128, budget // (k * 4))
-    for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
-        if cand <= max_qb and q % cand == 0:
-            return cand
-    return q
+    best = 0
+    for cand in range(1, min(q, max_qb) + 1):
+        if q % cand == 0 and cand % 8 == 0:  # sublane-aligned
+            best = cand
+    return best or q
 
 
 def _pallas_forward(theta, phi, g, interpret: bool = False):
@@ -110,13 +121,16 @@ def _attention_bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref,
         preferred_element_type=jnp.float32)    # (QB, K)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    attn = e / jnp.sum(e, axis=-1, keepdims=True)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # attn = e * r, never formed
 
     d_attn = jax.lax.dot_general(
         dout, g, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)    # (QB, K)
-    # softmax VJP: dS = A * (dA - sum_k(A * dA))
-    d_scores = attn * (d_attn - jnp.sum(attn * d_attn, axis=-1, keepdims=True))
+    # softmax VJP dS = A*(dA - sum_k(A*dA)), with A = e*r factored so the
+    # row-broadcast normalization folds into the (QB, 1) constants:
+    # dS = e * ((dA - r*sum_k(e*dA)) * r) — one fewer (QB, K) pass
+    c = jnp.sum(e * d_attn, axis=-1, keepdims=True) * r
+    d_scores = e * ((d_attn - c) * r)
 
     dtheta_ref[0] = jnp.dot(
         d_scores, phi, preferred_element_type=jnp.float32
@@ -130,8 +144,10 @@ def _attention_bwd_kernel(theta_ref, phi_ref, g_ref, dout_ref,
     dphi_ref[0] += jax.lax.dot_general(
         d_scores, theta, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dphi_ref.dtype)  # (K, Ca)
+    # dg = attn^T dout = e^T (r*dout): the per-q normalization folds into the
+    # small (QB, Cg) operand since the contraction runs over q
     dg_ref[0] += jax.lax.dot_general(
-        attn, dout, (((0,), (0,)), ((), ())),
+        e, dout * r, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dg_ref.dtype)    # (K, Cg)
 
 
@@ -139,8 +155,9 @@ def _pallas_backward(theta, phi, g, d_out, interpret: bool = False):
     b, q, ca = theta.shape
     k = phi.shape[1]
     cg = g.shape[2]
-    # two (QB, K) f32 intermediates live at once -> halve the forward budget
-    q_block = _pick_q_block(q, 2 * k)
+    # ~four (QB, K) f32 intermediates live at once (scores/e, d_attn,
+    # d_scores, matmul staging) -> quarter the forward budget
+    q_block = _pick_q_block(q, 4 * k)
     grid = (b, q // q_block)
     d_theta, d_phi, d_g = pl.pallas_call(
         _attention_bwd_kernel,
@@ -198,7 +215,7 @@ def _xla_backward(theta, phi, g, d_out):
 def _attention_bwd(residuals, d_out):
     theta, phi, g = residuals
     q, k = theta.shape[1], phi.shape[1]
-    if _USE_PALLAS_BWD and q % _pick_q_block(q, 2 * k) == 0:
+    if _USE_PALLAS_BWD and q % _pick_q_block(q, 4 * k) == 0:
         return _pallas_backward(theta, phi, g, d_out)
     return _xla_backward(theta, phi, g, d_out)
 
