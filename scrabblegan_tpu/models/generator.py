@@ -110,10 +110,11 @@ class Generator(nn.Module):
         chunks = jnp.split(z, num_blocks + 1, axis=1)
         z0, z_per_block = chunks[0], chunks[1:]
 
-        # filter bank contraction: per char, z0(32) @ patch(32, 8192) -> 8192
-        se = FilterBank(self.vocab_size + self.num_pad_tokens, self.embed_y,
-                        dtype=self.dtype, name="filter_bank")(labels)  # (B, L, 32, 8192)
-        net = jnp.einsum("bk,blkd->bld", z0, se, preferred_element_type=jnp.float32)
+        # filter bank contraction: per char, z0(32) @ patch(32, 8192) -> 8192,
+        # via the fused one-hot MXU matmul (see ops/embedding.py — the gather
+        # form costs 2.7GB of HBM bank re-reads per forward at batch 1024)
+        net = FilterBank(self.vocab_size + self.num_pad_tokens, self.embed_y,
+                         dtype=self.dtype, name="filter_bank").contract(labels, z0)
         net = net.astype(self.dtype)
 
         # lay per-char patches side by side along width — exact row-major

@@ -132,6 +132,19 @@ class TestFilterBank:
         np.testing.assert_allclose(out[0, 1], bank[2])
         np.testing.assert_allclose(out[1, 0], bank[4])
 
+    def test_contract_matches_gather_einsum(self, rng):
+        """The fused one-hot MXU form must equal gather + einsum (the TF
+        reference semantics, net_architecture.py:267-268)."""
+        fb = FilterBank(vocab_size=7, filter_dim=(4, 8))
+        ids = jnp.array([[0, 2, 6], [4, 4, 1]])
+        z0 = jax.random.normal(rng, (2, 4))
+        params = fb.init(rng, ids)
+        se = fb.apply(params, ids)  # (B, L, k, d)
+        ref = jnp.einsum("bk,blkd->bld", z0, se,
+                         preferred_element_type=jnp.float32)
+        out = fb.apply(params, ids, z0, method="contract")
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
 
 class TestBlocks:
     def test_up_block_shapes(self, rng):
