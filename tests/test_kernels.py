@@ -1,5 +1,9 @@
 """Pallas kernel numerics tests against the pure-XLA reference path (SURVEY.md §7:
-kernels "gated behind flags with XLA fallbacks and numerics tests")."""
+kernels "gated behind flags with XLA fallbacks and numerics tests").
+
+The kernels operate on CHANNEL-PACKED operands — (B, C, N) with the long axis
+in lanes (see kernels/attention.py module docstring) — so tests transpose at
+the boundary exactly like `nonlocal_attention` does."""
 
 import jax
 import jax.numpy as jnp
@@ -11,6 +15,10 @@ from scrabblegan_tpu.kernels.attention import _xla_attention, nonlocal_attention
 
 def _rand(key, shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def _T(a):
+    return jnp.swapaxes(a, 1, 2)
 
 
 class TestNonlocalAttention:
@@ -27,31 +35,21 @@ class TestNonlocalAttention:
                                    atol=1e-5)
 
     def test_gradients_match_xla_path(self):
-        """The custom VJP must agree with autodiff through the einsum path
-        (on CPU both route to XLA, but the VJP rule itself is exercised)."""
-        from scrabblegan_tpu.kernels.attention import _attention_op
+        """The custom backward rule (packed layouts) must agree with autodiff
+        through the einsum path."""
+        from scrabblegan_tpu.kernels.attention import _xla_backward
 
         theta = _rand(6, (1, 128, 8))
         phi = _rand(7, (1, 32, 8))
         g = _rand(8, (1, 32, 16))
 
-        def loss_custom(t, p, gg):
-            return jnp.sum(jnp.sin(_attention_op(t, p, gg)))
-
-        def loss_ref(t, p, gg):
-            return jnp.sum(jnp.sin(_xla_attention(t, p, gg)))
-
-        # check the analytic backward rule by comparing grads of the REF
-        # forward with the custom backward applied to the same cotangents
-        from scrabblegan_tpu.kernels.attention import _xla_backward
-
         out, vjp_ref = jax.vjp(_xla_attention, theta, phi, g)
         d_out = jnp.cos(out)  # d sum(sin(out)) / d out
         ref_grads = vjp_ref(d_out)
-        custom_grads = _xla_backward(theta, phi, g, d_out)
-        for a, b in zip(custom_grads, ref_grads):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
-                                       atol=2e-5)
+        custom = _xla_backward(_T(theta), _T(phi), _T(g), _T(d_out))
+        for a, b in zip(custom, ref_grads):
+            np.testing.assert_allclose(np.asarray(_T(a)), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
 
     @pytest.mark.parametrize("q,k", [(512, 128), (5120, 1280)])
     def test_pallas_backward_kernel_interpret(self, q, k):
@@ -67,10 +65,11 @@ class TestNonlocalAttention:
         out, vjp_ref = jax.vjp(_xla_attention, theta, phi, g)
         d_out = jnp.cos(out)
         ref_grads = vjp_ref(d_out)
-        got = _pallas_backward(theta, phi, g, d_out, interpret=True)
+        got = _pallas_backward(_T(theta), _T(phi), _T(g), _T(d_out),
+                               interpret=True)
         for a, b in zip(got, ref_grads):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
-                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(_T(a)), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
 
     @pytest.mark.parametrize("q,k,qb_splits", [(512, 128, 1), (1280, 320, 5),
                                                (5120, 1280, 10)])
@@ -85,10 +84,10 @@ class TestNonlocalAttention:
         phi = _rand(11, (2, k, 8))
         g = _rand(12, (2, k, 32))
         assert q % _pick_q_block(q, k) == 0
-        out = _pallas_forward(theta, phi, g, interpret=True)
+        out = _pallas_forward(_T(theta), _T(phi), _T(g), interpret=True)
         ref = _xla_attention(theta, phi, g)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
-                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(_T(out)), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
 
     def test_kernel_body_bf16_inputs_interpret(self):
         """bf16 policy path: inputs bf16, softmax must still be f32 internally."""
@@ -97,10 +96,10 @@ class TestNonlocalAttention:
         theta = _rand(13, (1, 256, 8)).astype(jnp.bfloat16)
         phi = _rand(14, (1, 64, 8)).astype(jnp.bfloat16)
         g = _rand(15, (1, 64, 16)).astype(jnp.bfloat16)
-        out = _pallas_forward(theta, phi, g, interpret=True)
+        out = _pallas_forward(_T(theta), _T(phi), _T(g), interpret=True)
         ref = _xla_attention(theta, phi, g)
         assert out.dtype == jnp.bfloat16
-        np.testing.assert_allclose(np.asarray(out, np.float32),
+        np.testing.assert_allclose(np.asarray(_T(out), np.float32),
                                    np.asarray(ref, np.float32), rtol=2e-2,
                                    atol=2e-2)
 
