@@ -48,23 +48,74 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 
+def _scores_dot(aT, bT):
+    """Scores matmul aT^T @ bT contracting dim 0, always f32-accurate.
+
+    The exp downstream amplifies score error into ~2e-2 output error if the
+    MXU runs a single truncated-bf16 pass (Mosaic's f32 DEFAULT, measured) —
+    and Mosaic supports no multi-pass precision for f32 short of HIGHEST,
+    which costs ~4% of the train step. Instead: bf16x3 as ONE matmul, by
+    stacking the hi/lo error-splits along the contraction axis —
+    [a_hi; a_lo; a_hi] @ [b_hi; b_hi; b_lo] = a_hi b_hi + a_lo b_hi + a_hi b_lo
+    (the dropped lo·lo term is ~2^-16 relative). The contraction grows 8->24
+    lanes, both under the MXU's 128-deep pass, so the accurate form costs the
+    same single pass as the truncated one; the splits touch only the SMALL
+    (C, N) operands, not the (QB, K) scores. Measured end-to-end parity:
+    ~7.5e-3 vs an f32-exact reference — the residual is the VALUE matmul's
+    single bf16 pass, shared by every other matmul in the model; XLA's own
+    DEFAULT f32 attention is ~4e-2 off the same reference. (HIGHEST on the
+    scores matmul alone reaches 2e-6 but costs ~4% of the train step: six
+    128-deep passes turn this VPU-bound kernel MXU-bound.)"""
+    if aT.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            aT, bT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    a_hi = aT.astype(jnp.bfloat16)
+    a_lo = (aT - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = bT.astype(jnp.bfloat16)
+    b_lo = (bT - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    a3 = jnp.concatenate([a_hi, a_lo, a_hi], axis=0)
+    b3 = jnp.concatenate([b_hi, b_hi, b_lo], axis=0)
+    return jax.lax.dot_general(
+        a3, b3, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
 def _attention_kernel(thetaT_ref, phiT_ref, gT_ref, outT_ref):
     # thetaT: (1, Ca, QB), phiT: (1, Ca, K), gT: (1, Cg, K) -> outT: (1, Cg, QB)
     # Matmuls run at the INPUT dtype (bf16 under the bf16 policy — 8x the MXU
     # rate of f32) with f32 accumulation; the softmax itself stays f32.
-    thetaT = thetaT_ref[0] * jnp.asarray(_LOG2E, thetaT_ref.dtype)
-    scores = jax.lax.dot_general(
-        thetaT, phiT_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (QB, K) f32, in log2 units
+    # The kernel is VPU-bound (the matmuls are ~0.7us/step, the softmax ~3.4us
+    # at len-5 b1024) so the VPU does exactly TWO passes over the (QB, K)
+    # scores: the max reduce and one fused subtract+exp2+convert. The softmax
+    # divisor sum(e) rides the MXU instead: a ones row appended to gT makes
+    # the value matmul emit [out; s] in one shot.
+    dt = thetaT_ref.dtype
+    thetaT = thetaT_ref[0] * jnp.asarray(_LOG2E, dt)
+    scores = _scores_dot(thetaT, phiT_ref[0])  # (QB, K) f32, in log2 units
     m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp2(scores - m)
-    s = jnp.sum(e, axis=-1)  # (QB,) — a lane vector
-    outT = jax.lax.dot_general(
-        gT_ref[0], e.astype(thetaT.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Cg, QB)
-    outT_ref[0] = (outT * (1.0 / s)[None, :]).astype(outT_ref.dtype)
+    if dt == jnp.bfloat16:
+        # bf16: the numerator matmul already quantizes e to bf16, so the
+        # divisor can share that quantization and ride the MXU for free
+        e = jnp.exp2(scores - m).astype(dt)  # one fused VPU pass
+        cg = gT_ref.shape[1]
+        gext = jnp.concatenate(
+            [gT_ref[0], jnp.ones((1, e.shape[-1]), dt)], axis=0)
+        out_s = jax.lax.dot_general(
+            gext, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Cg+1, QB): rows 0..Cg-1 = unnormalized out, row Cg = sum(e)
+        outT_ref[0] = (out_s[:cg] * (1.0 / out_s[cg])[None, :]).astype(
+            outT_ref.dtype)
+    else:
+        # f32: keep the divisor exact on the VPU (bf16-quantizing e for an
+        # MXU divisor would throw away f32's precision advantage)
+        e = jnp.exp2(scores - m)
+        s = jnp.sum(e, axis=-1)  # (QB,) — a lane vector
+        outT = jax.lax.dot_general(
+            gT_ref[0], e.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Cg, QB)
+        outT_ref[0] = (outT * (1.0 / s)[None, :]).astype(outT_ref.dtype)
 
 
 def _xla_attention(theta, phi, g):
@@ -122,14 +173,16 @@ def _attention_bwd_kernel(thetaT_ref, phiT_ref, gT_ref, doutT_ref,
     sequential inner grid dimension and the kernel accumulates into them —
     the (Q, K) matrices never touch HBM."""
     j = pl.program_id(1)
+    # The recomputed scores matmul is f32-accurate for f32 residuals (see
+    # _scores_dot: exp amplifies score error); the four gradient matmuls are
+    # linear in their error and run the MXU's fast path like every other
+    # matmul in the model (multi-pass on them costs ~9% of the train step).
     thetaT = thetaT_ref[0].astype(jnp.float32)  # (Ca, QB)
     phiT = phiT_ref[0].astype(jnp.float32)      # (Ca, K)
     gT = gT_ref[0].astype(jnp.float32)          # (Cg, K)
     doutT = doutT_ref[0].astype(jnp.float32)    # (Cg, QB)
 
-    scores = jax.lax.dot_general(
-        thetaT, phiT, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)    # (QB, K)
+    scores = _scores_dot(thetaT_ref[0], phiT_ref[0])  # (QB, K)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (QB, 1)

@@ -67,6 +67,11 @@ RUNS = {
             "optimizer.balance_mode": "grad_norm"},
     "pm": {"parallel.shape_mode": "padded",
            "parallel.bucket_pairing": "matched"},
+    # pm under the bfloat16 compute policy (params stay f32) — the A/B that
+    # licenses reporting bf16 train throughput as a supported configuration
+    "pmbf16": {"parallel.shape_mode": "padded",
+               "parallel.bucket_pairing": "matched",
+               "shared.dtype": "bfloat16"},
     "pi": {"parallel.shape_mode": "padded",
            "parallel.bucket_pairing": "independent"},
     "bugstyle": {"parallel.shape_mode": "padded",

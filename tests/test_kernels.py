@@ -86,8 +86,11 @@ class TestNonlocalAttention:
         assert q % _pick_q_block(q, k) == 0
         out = _pallas_forward(_T(theta), _T(phi), _T(g), interpret=True)
         ref = _xla_attention(theta, phi, g)
+        # the f32 scores matmul runs stacked bf16x3 (kernel _scores_dot):
+        # dropped lo*lo term bounds relative score error at ~2^-16, amplified
+        # by the exp into ~1e-4 on outputs
         np.testing.assert_allclose(np.asarray(_T(out)), np.asarray(ref),
-                                   rtol=1e-5, atol=1e-5)
+                                   rtol=1e-4, atol=1e-4)
 
     def test_kernel_body_bf16_inputs_interpret(self):
         """bf16 policy path: inputs bf16, softmax must still be f32 internally."""
