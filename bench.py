@@ -192,12 +192,17 @@ def _bench_train_step(jax, jnp, tpu_dev, cpu_dev, log, length=5):
     state, m = step(state, batch, jax.random.PRNGKey(1))
     _ = float(m["d_loss"])
     log(f"len {length}: train step compile+first: {time.time() - t0:.1f}s")
+    # best-of-3 windows: a single window is vulnerable to one lost/slow
+    # remote-tunnel dispatch (observed: 21.4 vs 29.3 steps/s on back-to-back
+    # runs of the same binary)
     n = 30
-    t0 = time.time()
-    for i in range(n):
-        state, m = step(state, batch, jax.random.PRNGKey(i))
-    _ = float(m["d_loss"])  # the last step depends on every previous state
-    dt = time.time() - t0
+    dt = None
+    for _rep in range(3):
+        t0 = time.time()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+        _ = float(m["d_loss"])  # the last step depends on every previous state
+        dt = min(dt or 1e9, time.time() - t0)
 
     # analytic MXU FLOPs of the WHOLE step (fwd + bwd: autodiff is inside the
     # traced function); Pallas kernels don't appear in a CPU trace, but the
