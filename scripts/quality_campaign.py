@@ -65,6 +65,11 @@ RUNS = {
     "c3g": {"shared.z_source": "noise", "parallel.shape_mode": "padded",
             "optimizer.apply_gradient_balance": True,
             "optimizer.balance_mode": "grad_norm"},
+    # c4m (the bucketed default) trained 1 epoch then collapsed under D
+    # domination (docs/QUALITY.md); c4g tests the grad_norm rescue (the c3->
+    # c3g fix) in the bucketed arm — matched pairing keeps it at 10 compiles
+    "c4g": {"optimizer.apply_gradient_balance": True,
+            "optimizer.balance_mode": "grad_norm"},
     "pm": {"parallel.shape_mode": "padded",
            "parallel.bucket_pairing": "matched"},
     # pm under the bfloat16 compute policy (params stay f32) — the A/B that
