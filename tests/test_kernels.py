@@ -114,3 +114,24 @@ class TestNonlocalAttention:
         out = np.asarray(nonlocal_attention(theta, phi, g))
         assert out.max() <= float(g.max()) + 1e-5
         assert out.min() >= float(g.min()) - 1e-5
+
+    def test_scores_dot_stacked_bf16x3_accuracy(self):
+        """The f32 scores matmul runs stacked bf16x3 (one MXU pass carrying
+        hi/lo error-splits along the contraction axis). Pin (a) its accuracy
+        vs an f64 reference and (b) that it beats a single truncated-bf16
+        pass by >=10x — the property that justifies the construction."""
+        from scrabblegan_tpu.kernels.attention import _scores_dot
+
+        a = np.asarray(_rand(20, (8, 512)), np.float64)
+        b = np.asarray(_rand(21, (8, 640)), np.float64)
+        exact = a.T @ b
+        got = np.asarray(_scores_dot(jnp.asarray(a, jnp.float32),
+                                     jnp.asarray(b, jnp.float32)), np.float64)
+        a16 = np.asarray(jnp.asarray(a, jnp.bfloat16), np.float64)
+        b16 = np.asarray(jnp.asarray(b, jnp.bfloat16), np.float64)
+        trunc = a16.T @ b16
+        scale = np.abs(exact).max()
+        err_x3 = np.abs(got - exact).max() / scale
+        err_1p = np.abs(trunc - exact).max() / scale
+        assert err_x3 < 3e-5, err_x3
+        assert err_1p > 10 * err_x3, (err_1p, err_x3)
