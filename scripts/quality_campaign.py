@@ -70,6 +70,10 @@ RUNS = {
     # c3g fix) in the bucketed arm — matched pairing keeps it at 10 compiles
     "c4g": {"optimizer.apply_gradient_balance": True,
             "optimizer.balance_mode": "grad_norm"},
+    # c4g falsified the G-side hypothesis (grad_norm doesn't rescue the
+    # bucketed regime); c4t tests the D-side one — TTUR with D and W at a
+    # quarter of G's learning rate so D can't win the per-width game
+    "c4t": {"optimizer.d_lr": 5e-5, "optimizer.w_lr": 5e-5},
     "pm": {"parallel.shape_mode": "padded",
            "parallel.bucket_pairing": "matched"},
     # pm under the bfloat16 compute policy (params stay f32) — the A/B that
