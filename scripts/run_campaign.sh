@@ -14,7 +14,7 @@ RUNS=("${@:-c3 pm pi bugstyle c4m}")
 if [ "${#RUNS[@]}" -eq 1 ]; then RUNS=(${RUNS[0]}); fi
 EPOCHS="${EPOCHS:-10}"
 BPE="${BPE:-2500}"
-STALL_S="${STALL_S:-1800}"  # > the longest observed remote compile (~15 min cold)
+STALL_S="${STALL_S:-900}"  # > warm-cache compile; cold first-runs can override
 TRIES="${TRIES:-3}"
 mkdir -p "$ROOT"
 LOG="$ROOT/campaign.log"
