@@ -141,6 +141,12 @@ class IOConfig:
     # TPU tunnel the full-state D2H fetch is ~GBs — raise this when resume
     # granularity matters less than wall clock.
     ckpt_every: int = 1
+    # Stall self-heal (utils/watchdog.py): if > 0, Trainer.train exits the
+    # process with code 86 when no step/fetch completes for this many seconds
+    # (the remote tunnel can lose a dispatched result, blocking device_get
+    # forever). Must exceed the slowest legitimate blocking op — a cold XLA
+    # compile or the full-state checkpoint fetch. 0 disables (default).
+    stall_timeout_s: float = 0.0
 
 
 @dataclass(frozen=True)

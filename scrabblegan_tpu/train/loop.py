@@ -310,6 +310,15 @@ class Trainer:
         # artifacts intact (the reference would silently train on NaN).
         diverged = [None]
 
+        # Stall self-heal: the tunnel backend can lose a dispatched result,
+        # blocking the next device_get forever (utils/watchdog.py). Exit 86
+        # lets a supervisor retry; resume picks up from the last checkpoint.
+        watchdog = None
+        if cfg.io.stall_timeout_s:
+            from scrabblegan_tpu.utils.watchdog import StallWatchdog
+
+            watchdog = StallWatchdog(cfg.io.stall_timeout_s).start()
+
         def flush_pending(pending):
             """Fetch the stacked metrics of a block of completed dispatches and
             log/record each step's row."""
@@ -317,6 +326,8 @@ class Trainer:
                 return
             stacked = np.asarray(jax.device_get(
                 stack_metrics([m for (_, _, m) in pending])))
+            if watchdog:
+                watchdog.beat()
             for (e_idx, call_idx, _), vec in zip(pending, stacked):
                 # vec: (16,) for k == 1, (16, k) for chunked dispatches
                 rows = ([dict(zip(METRIC_NAMES, vec))] if k == 1 else
@@ -391,6 +402,8 @@ class Trainer:
                 writer.end_epoch()
 
                 jax.block_until_ready(state)
+                if watchdog:
+                    watchdog.beat()
                 self.last_epoch_secs = time.time() - t0
                 if self.verbose:
                     print(f"Time for epoch {epoch_idx + 1} is "
@@ -405,7 +418,11 @@ class Trainer:
                     break
                 self.save_epoch_artifacts(state, epoch_idx + 1,
                                           final=epoch_idx + 1 == epochs)
+                if watchdog:
+                    watchdog.beat()
         finally:
+            if watchdog:
+                watchdog.stop()
             if prefetcher is not None:
                 prefetcher.close()
 

@@ -186,6 +186,10 @@ def main(argv=None):
     # Every 3 epochs bounds the rework after a watchdog restart
     # (run_campaign.sh) to <3 epochs while keeping the fetch overhead ~10%.
     overrides.setdefault("io.ckpt_every", 3)
+    # in-process stall self-heal (exit 86 -> run_campaign.sh retries +
+    # resumes); 900s > the slowest observed legitimate block (cold padded
+    # 4-network compile, full-state checkpoint fetch)
+    overrides.setdefault("io.stall_timeout_s", 900)
     cfg = load_config(None, overrides)
     workdir = os.path.join(args.root, args.run)
     read_dir, words_file, style_dir = ensure_dataset(
