@@ -178,6 +178,17 @@ class ParallelConfig:
     # images quantize by <=0.5/127.5 vs the float32 host path). 'float32'
     # restores the exact round-1 wire format.
     transfer_dtype: str = "uint8"
+    # FSDP/ZeRO-3-style parameter + optimizer-state sharding over the data
+    # mesh (parallel/fsdp.py): every large weight is split across devices and
+    # all-gathered by XLA at use; grads reduce-scatter back. Numerics are
+    # identical to replicated DP (GSPMD inserts the collectives; tested).
+    # Per-device param+optimizer memory drops ~linearly for the big weights
+    # (the 13.6M-param filter bank dominates). False = fully replicated.
+    fsdp: bool = False
+    # Minimum leaf size (elements) worth sharding under fsdp; smaller weights
+    # stay replicated (an all-gather of a tiny BN scale costs more than it
+    # saves).
+    fsdp_min_size: int = 65536
 
 
 @dataclass(frozen=True)

@@ -46,13 +46,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
-                             donate: bool = True, chunked: bool = False):
-    """jit the train step over the mesh: state replicated, batch data-sharded.
+                             donate: bool = True, chunked: bool = False,
+                             state_shapes=None):
+    """jit the train step over the mesh: batch data-sharded; state replicated,
+    or FSDP-sharded when `cfg.parallel.fsdp` (parallel/fsdp.py — params and
+    optimizer moments split across the mesh, XLA all-gathers at use).
 
     Returns a compiled callable step(state, batch, rng) -> (state, metrics).
     chunked=True: batch leaves carry a leading steps_per_call axis and rng is a
     (K, 2) key stack — one dispatch runs K sequential steps (lax.scan); batch
-    data stays sharded on its SECOND axis (the per-step batch axis)."""
+    data stays sharded on its SECOND axis (the per-step batch axis).
+    state_shapes: TrainState eval_shape pytree, required for fsdp (per-leaf
+    sharding specs)."""
     rep = replicate_sharding(mesh)
     if chunked:
         step = make_chunked_train_step(cfg, models)
@@ -60,9 +65,18 @@ def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
     else:
         step = make_train_step(cfg, models)
         bsh = batch_sharding(mesh)
+    ssh = rep
+    if getattr(cfg.parallel, "fsdp", False) and len(mesh.devices.flat) > 1:
+        if state_shapes is None:
+            raise ValueError("fsdp=True requires state_shapes (jax.eval_shape "
+                             "of the TrainState)")
+        from scrabblegan_tpu.parallel.fsdp import state_shardings
+
+        ssh = state_shardings(mesh, state_shapes,
+                              min_size=cfg.parallel.fsdp_min_size)
     return jax.jit(
         step,
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(ssh, bsh, rep),
+        out_shardings=(ssh, rep),
         donate_argnums=(0,) if donate else (),
     )

@@ -109,9 +109,22 @@ class Trainer:
         self.models = build_models(cfg)
         self.mesh = make_mesh(cfg.parallel.num_devices)
         self.steps_per_call = max(1, cfg.parallel.steps_per_call)
+        state_shapes = None
+        if cfg.parallel.fsdp:
+            state_shapes = jax.eval_shape(
+                lambda: create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
+                                           self.models))
         self.step_fn = make_parallel_train_step(
-            cfg, self.models, self.mesh, chunked=self.steps_per_call > 1)
+            cfg, self.models, self.mesh, chunked=self.steps_per_call > 1,
+            state_shapes=state_shapes)
         self._rep = replicate_sharding(self.mesh)
+        # fsdp: the state enters/leaves the step in sharded layout
+        self._state_sh = self._rep
+        if cfg.parallel.fsdp and len(self.mesh.devices.flat) > 1:
+            from scrabblegan_tpu.parallel.fsdp import state_shardings
+
+            self._state_sh = state_shardings(
+                self.mesh, state_shapes, min_size=cfg.parallel.fsdp_min_size)
         if self.steps_per_call > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -130,13 +143,13 @@ class Trainer:
     def init_state(self, resume: bool = True) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
         state = create_train_state(self.cfg, rng, self.models)
-        state = jax.device_put(state, self._rep)
+        state = jax.device_put(state, self._state_sh)
         if resume:
             restored, step = ckpt_lib.restore_state(self.ckpt_path, state)
             if restored is not None:
                 if self.verbose:
                     print(f"resumed from checkpoint at step {step}")
-                return jax.device_put(restored, self._rep)
+                return jax.device_put(restored, self._state_sh)
         if self.verbose:
             from scrabblegan_tpu.utils.summary import summarize_state
 
