@@ -284,6 +284,24 @@ def _attention_bwd(residuals, d_outT):
 _attention_op.defvjp(_attention_fwd, _attention_bwd)
 
 
+def nonlocal_attention_packed(thetaT, phiT, gT):
+    """Channel-packed entry: thetaT (B, Ca, Q); phiT (B, Ca, K); gT (B, Cg, K)
+    -> outT (B, Cg, Q). The operands stay in the kernel's native layout end to
+    end — callers that already hold packed activations (ops/attention.py's
+    packed projection path) avoid the boundary transposes entirely.
+
+    Falls back to the pure-XLA einsum path (via boundary transposes) off-TPU
+    or when shapes miss the tiling preconditions; numerics match either way."""
+    q, k = thetaT.shape[2], phiT.shape[2]
+    q_block = _pick_q_block(q, k)
+    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    if not _HAS_PLTPU or not on_tpu or q % q_block != 0 or q_block % 128 != 0:
+        out = _xla_attention(jnp.swapaxes(thetaT, 1, 2),
+                             jnp.swapaxes(phiT, 1, 2), jnp.swapaxes(gT, 1, 2))
+        return jnp.swapaxes(out, 1, 2)
+    return _attention_op(thetaT, phiT, gT)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def nonlocal_attention(theta, phi, g):
     """theta: (B, Q, Ca); phi: (B, K, Ca); g: (B, K, Cg) -> (B, Q, Cg).

@@ -6,18 +6,47 @@ output = input + sigma * conv1x1(attn g) with a learned scalar `sigma` initializ
 
 This is the only O((HW)^2) op in the framework (SURVEY.md §5 "sequence-scaling
 analog": image width is the sequence axis, max 160px). The default path is pure-XLA
-(fuses well at these sizes); a fused Pallas kernel is available via
-`scrabblegan_tpu.kernels.attention` and toggled by `use_pallas`.
+in the reference's NHWC shapes; `use_pallas` switches the WHOLE block to a
+channel-packed (B, C, N) dataflow — 1x1 projections as explicit matmuls on
+identity-extracted SN kernels, pooling on packed activations, and the fused
+Pallas attention core (`scrabblegan_tpu.kernels.attention`) without boundary
+transposes. Both paths share one param tree and compute the same function
+(tested); the packed one exists because NHWC materializes the 8/32-channel
+projection activations lane-padded 16x/4x in HBM.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from scrabblegan_tpu.ops.layers import SNConv
+
+
+def _extract_kernel(conv: SNConv, c_in: int, dtype, train: bool):
+    """Spectrally-normalized 1x1 kernel as a (c_in, c_out) matrix.
+
+    Applying the conv to a (1, 1, c_in, c_in) identity image yields exactly
+    W/sigma(W) row by row — the SN power iteration depends only on the kernel,
+    so the stats update is identical to a call on real data, and the param /
+    batch_stats trees (hence checkpoints) are shared with the NHWC path."""
+    eye = jnp.eye(c_in, dtype=dtype)[None, None]  # (1, 1, c_in, c_in)
+    return conv(eye, train)[0, 0]  # (c_in, c_out)
+
+
+def _max_pool_2x2_packed(xT4):
+    """2x2/2 max pool on channel-packed (B, C, H, W) activations.
+
+    Strided slices + elementwise max rather than lax.reduce_window: identical
+    result for even H/W (always true here — H in {8..32}, W = 16L or 80), and
+    reduce_window(max) fails reverse-mode linearization inside the composite
+    train step's grad."""
+    a = jnp.maximum(xT4[..., 0::2, 0::2], xT4[..., 0::2, 1::2])
+    b = jnp.maximum(xT4[..., 1::2, 0::2], xT4[..., 1::2, 1::2])
+    return jnp.maximum(a, b)
 
 
 class NonLocalBlock(nn.Module):
@@ -31,13 +60,46 @@ class NonLocalBlock(nn.Module):
         c_attn = c // 8
         c_g = c // 2
 
-        theta = SNConv(c_attn, (1, 1), use_bias=False, use_sn=self.use_sn, dtype=self.dtype, name="theta")(
-            x, train
-        )
-        phi = SNConv(c_attn, (1, 1), use_bias=False, use_sn=self.use_sn, dtype=self.dtype, name="phi")(
-            x, train
-        )
-        g = SNConv(c_g, (1, 1), use_bias=False, use_sn=self.use_sn, dtype=self.dtype, name="g")(x, train)
+        theta_conv = SNConv(c_attn, (1, 1), use_bias=False, use_sn=self.use_sn,
+                            dtype=self.dtype, name="theta")
+        phi_conv = SNConv(c_attn, (1, 1), use_bias=False, use_sn=self.use_sn,
+                          dtype=self.dtype, name="phi")
+        g_conv = SNConv(c_g, (1, 1), use_bias=False, use_sn=self.use_sn,
+                        dtype=self.dtype, name="g")
+        out_conv = SNConv(c, (1, 1), use_bias=False, use_sn=self.use_sn,
+                          dtype=self.dtype, name="out")
+        sigma = self.param("sigma", nn.initializers.zeros, ())
+
+        if self.use_pallas:
+            # CHANNEL-PACKED path (TPU): every projection runs directly in the
+            # kernel's (B, C, N) layout — the NHWC form would write the 8/32-
+            # channel theta/phi/g activations minor-dim lane-padded 16x/4x in
+            # HBM (profiler-measured to be most of the block's cost; see
+            # kernels/attention.py). The 1x1 convs become explicit matmuls on
+            # identity-extracted SN kernels; same math, same param tree.
+            from scrabblegan_tpu.kernels.attention import nonlocal_attention_packed
+
+            w_theta = _extract_kernel(theta_conv, c, self.dtype, train)
+            w_phi = _extract_kernel(phi_conv, c, self.dtype, train)
+            w_g = _extract_kernel(g_conv, c, self.dtype, train)
+            w_out = _extract_kernel(out_conv, c_g, self.dtype, train)
+
+            xT = jnp.swapaxes(x.reshape(b, h * w, c), 1, 2)  # (B, C, N)
+            thetaT = jnp.einsum("cd,bcn->bdn", w_theta, xT)  # (B, Ca, N)
+            xT4 = xT.reshape(b, c, h, w)
+            phiT = _max_pool_2x2_packed(
+                jnp.einsum("cd,bchw->bdhw", w_phi, xT4)).reshape(b, c_attn, -1)
+            gT = _max_pool_2x2_packed(
+                jnp.einsum("cd,bchw->bdhw", w_g, xT4)).reshape(b, c_g, -1)
+
+            attn_gT = nonlocal_attention_packed(thetaT, phiT, gT)  # (B, Cg, N)
+            outT = jnp.einsum("dc,bdn->bcn", w_out, attn_gT)       # (B, C, N)
+            out = jnp.swapaxes(outT, 1, 2).reshape(b, h, w, c)
+            return sigma.astype(self.dtype) * out + x
+
+        theta = theta_conv(x, train)
+        phi = phi_conv(x, train)
+        g = g_conv(x, train)
 
         phi = nn.max_pool(phi, (2, 2), strides=(2, 2))
         g = nn.max_pool(g, (2, 2), strides=(2, 2))
@@ -46,22 +108,14 @@ class NonLocalBlock(nn.Module):
         phi_flat = phi.reshape(b, (h // 2) * (w // 2), c_attn)
         g_flat = g.reshape(b, (h // 2) * (w // 2), c_g)
 
-        if self.use_pallas:
-            from scrabblegan_tpu.kernels.attention import nonlocal_attention
-
-            attn_g = nonlocal_attention(theta_flat, phi_flat, g_flat)
-        else:
-            attn = jnp.einsum(
-                "bqc,bkc->bqk", theta_flat, phi_flat, preferred_element_type=jnp.float32
-            )
-            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-            attn_g = jnp.einsum("bqk,bkc->bqc", attn, g_flat, preferred_element_type=jnp.float32)
-            attn_g = attn_g.astype(self.dtype)
+        attn = jnp.einsum(
+            "bqc,bkc->bqk", theta_flat, phi_flat, preferred_element_type=jnp.float32
+        )
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn_g = jnp.einsum("bqk,bkc->bqc", attn, g_flat, preferred_element_type=jnp.float32)
+        attn_g = attn_g.astype(self.dtype)
 
         attn_g = attn_g.reshape(b, h, w, c_g)
-        attn_g = SNConv(c, (1, 1), use_bias=False, use_sn=self.use_sn, dtype=self.dtype, name="out")(
-            attn_g, train
-        )
+        attn_g = out_conv(attn_g, train)
 
-        sigma = self.param("sigma", nn.initializers.zeros, ())
         return sigma.astype(self.dtype) * attn_g + x

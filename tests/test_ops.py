@@ -206,6 +206,45 @@ class TestAttention:
         y, _ = blk.apply(v, x, True, mutable=["batch_stats"])
         assert y.shape == x.shape
 
+    def test_packed_path_matches_nhwc(self, rng):
+        """The channel-packed (use_pallas) dataflow — identity-extracted SN
+        kernels, packed einsum projections, packed pooling — must share the
+        NHWC path's param tree and compute the same function AND gradients."""
+        x = jax.random.normal(rng, (2, 8, 16, 64))
+        ref_blk = NonLocalBlock(use_sn=True, use_pallas=False)
+        pkd_blk = NonLocalBlock(use_sn=True, use_pallas=True)
+        v_ref = ref_blk.init(rng, x, True)
+        v_pkd = pkd_blk.init(rng, x, True)
+        jax.tree.map(np.testing.assert_array_equal, v_ref, v_pkd)
+
+        # sigma=0 at init makes the block identity; enable the attention path
+        v = jax.tree.map(lambda a: a, v_ref)
+        v["params"]["sigma"] = jnp.asarray(0.7)
+
+        y_ref, s_ref = ref_blk.apply(v, x, True, mutable=["batch_stats"])
+        y_pkd, s_pkd = pkd_blk.apply(v, x, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_pkd), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+            s_ref, s_pkd)
+
+        def loss(blk):
+            def f(params, x):
+                y, _ = blk.apply({"params": params,
+                                  "batch_stats": v["batch_stats"]},
+                                 x, True, mutable=["batch_stats"])
+                return jnp.sum(jnp.sin(y))
+            return f
+
+        g_ref = jax.grad(loss(ref_blk), argnums=(0, 1))(v["params"], x)
+        g_pkd = jax.grad(loss(pkd_blk), argnums=(0, 1))(v["params"], x)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            g_ref, g_pkd)
+
 
 class TestSpectralNorm:
     def test_persistent_u_updates_in_train_only(self, rng):
