@@ -1,3 +1,8 @@
-from scrabblegan_tpu.kernels.attention import nonlocal_attention
+from scrabblegan_tpu.kernels.attention import (
+    fused_nonlocal_block,
+    nonlocal_attention,
+    nonlocal_attention_packed,
+)
 
-__all__ = ["nonlocal_attention"]
+__all__ = ["fused_nonlocal_block", "nonlocal_attention",
+           "nonlocal_attention_packed"]

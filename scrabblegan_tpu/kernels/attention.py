@@ -38,6 +38,12 @@ from jax.experimental import pallas as pl
 # attention VJP to the XLA backward that materializes the (Q, K) matrices.
 _USE_PALLAS_BWD = os.environ.get("SCRABBLEGAN_PALLAS_BWD", "1") != "0"
 
+# SCRABBLEGAN_FUSED_BLOCK=0 reverts fused_nonlocal_block's forward to the
+# composition (theta einsum + packed attention core + out einsum) — both an
+# A/B lever and a safety hatch should the whole-block kernel mis-lower on a
+# new compiler version.
+_USE_FUSED_BLOCK = os.environ.get("SCRABBLEGAN_FUSED_BLOCK", "1") != "0"
+
 _LOG2E = 1.4426950408889634
 
 try:  # pltpu import fails on non-TPU-capable builds; fall back gracefully
@@ -282,6 +288,148 @@ def _attention_bwd(residuals, d_outT):
 
 
 _attention_op.defvjp(_attention_fwd, _attention_bwd)
+
+
+def _scores_dot_nt(a, bT):
+    """Scores matmul a @ bT contracting a's dim 1 with bT's dim 0, f32-accurate.
+
+    Same bf16x3 error-split trick as _scores_dot (see its docstring), for the
+    fused-block kernel whose theta tile is naturally (QB, Ca)."""
+    if a.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            a, bT, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = bT.astype(jnp.bfloat16)
+    b_lo = (bT - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    a3 = jnp.concatenate([a_hi, a_lo, a_hi], axis=1)
+    b3 = jnp.concatenate([b_hi, b_hi, b_lo], axis=0)
+    return jax.lax.dot_general(
+        a3, b3, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _fused_block_kernel(x_ref, wt_ref, phiT_ref, gT_ref, wo_ref, out_ref):
+    """Whole-NonLocalBlock fusion around the attention core.
+
+    Per (batch, q-block) grid step, from VMEM-resident inputs:
+      theta tile  = x_q @ w_theta          (w_theta arrives log2(e)-folded)
+      scores      = theta @ phiT           (f32-accurate, see _scores_dot_nt)
+      softmax     = deferred-normalization exp2, divisor on the MXU (bf16)
+      out tile    = attn_out^T @ w_out + x_q   (w_out arrives sigma-folded)
+    x is NHWC-flattened (B, N, C) — the kernel's contractions consume it
+    directly, so neither the lane-padded (B, N, 8/32) projection activations
+    nor any (B, C, N) boundary transpose of x ever exist in HBM. phiT/gT are
+    the small pooled K-side operands, computed outside (pooling needs the
+    (H, W) structure; they are ~1/32 and ~1/8 of x)."""
+    j = pl.program_id(1)
+    qb = out_ref.shape[1]
+    x = x_ref[0]                                            # (N, C)
+    xq = jax.lax.dynamic_slice_in_dim(x, j * qb, qb, axis=0)  # (QB, C)
+    dt = x.dtype
+
+    theta = jax.lax.dot_general(
+        xq, wt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (QB, Ca) f32
+    theta = theta.astype(dt)  # mirror the XLA composition's projection dtype
+    scores = _scores_dot_nt(theta, phiT_ref[0])             # (QB, K) f32, log2 units
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    cg = gT_ref.shape[1]
+    if dt == jnp.bfloat16:
+        e = jnp.exp2(scores - m).astype(dt)                 # one fused VPU pass
+        gext = jnp.concatenate(
+            [gT_ref[0], jnp.ones((1, e.shape[-1]), dt)], axis=0)
+        out_s = jax.lax.dot_general(
+            gext, e, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (Cg+1, QB)
+        attn_out = out_s[:cg] * (1.0 / out_s[cg])[None, :]  # (Cg, QB) f32
+    else:
+        e = jnp.exp2(scores - m)
+        s = jnp.sum(e, axis=-1)                             # (QB,)
+        outT = jax.lax.dot_general(
+            gT_ref[0], e.astype(dt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # (Cg, QB)
+        attn_out = outT * (1.0 / s)[None, :]
+    out_q = jax.lax.dot_general(
+        attn_out.astype(dt), wo_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (QB, C)
+    out_ref[0] = (out_q.astype(dt) + xq).astype(out_ref.dtype)
+
+
+def _fused_block_forward(x_flat, w_theta, phiT, gT, w_out_s,
+                         interpret: bool = False):
+    b, n, c = x_flat.shape
+    ca = w_theta.shape[1]
+    cg, k = gT.shape[1], gT.shape[2]
+    q_block = _pick_q_block(n, k)
+    grid = (b, n // q_block)
+    wt_log2 = (w_theta.astype(jnp.float32) * _LOG2E).astype(w_theta.dtype)
+    return pl.pallas_call(
+        _fused_block_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), x_flat.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((c, ca), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, ca, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, cg, k), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((cg, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, c), lambda i, j: (i, j, 0)),
+        interpret=interpret,
+    )(x_flat, wt_log2, phiT, gT, w_out_s)
+
+
+def _fused_block_reference(x_flat, w_theta, phiT, gT, w_out_s):
+    """Pure-JAX composition computing the same function as the fused kernel:
+    theta projection -> packed attention core -> out projection -> residual.
+    Used as the off-TPU fallback AND (via jax.vjp) as the fused op's backward,
+    so training gradients route through the flash-style Pallas backward of
+    `nonlocal_attention_packed` where available."""
+    dt = x_flat.dtype
+    thetaT = jnp.einsum("cd,bnc->bdn", w_theta, x_flat).astype(dt)  # (B,Ca,N)
+    attn_outT = nonlocal_attention_packed(thetaT, phiT, gT)         # (B,Cg,N)
+    out = jnp.einsum("dc,bdn->bnc", w_out_s, attn_outT,
+                     preferred_element_type=jnp.float32).astype(dt)
+    return out + x_flat
+
+
+@jax.custom_vjp
+def _fused_block_op(x_flat, w_theta, phiT, gT, w_out_s):
+    return _fused_block_forward(x_flat, w_theta, phiT, gT, w_out_s)
+
+
+def _fused_block_fwd(x_flat, w_theta, phiT, gT, w_out_s):
+    return (_fused_block_forward(x_flat, w_theta, phiT, gT, w_out_s),
+            (x_flat, w_theta, phiT, gT, w_out_s))
+
+
+def _fused_block_bwd(residuals, d_out):
+    _, vjp = jax.vjp(_fused_block_reference, *residuals)
+    return vjp(d_out)
+
+
+_fused_block_op.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_nonlocal_block(x_flat, w_theta, phiT, gT, w_out, sigma):
+    """x_flat (B, N, C) + sigma * Proj_out(Attend(x_flat w_theta, phiT, gT)).
+
+    The full non-local block around precomputed pooled K-side operands:
+    theta/out projections, softmax core, and the residual run as ONE Pallas
+    kernel on TPU (no lane-padded projection activations, no transposes of x
+    in HBM); off-TPU or at non-tiling shapes it computes the identical
+    composition in XLA. Differentiable everywhere — the backward is the VJP
+    of the composition, which itself uses the fused Pallas attention backward
+    on TPU."""
+    n, k = x_flat.shape[1], phiT.shape[2]
+    w_out_s = (w_out.astype(jnp.float32)
+               * sigma.astype(jnp.float32)).astype(w_out.dtype)
+    q_block = _pick_q_block(n, k)
+    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    if (not _USE_FUSED_BLOCK or not _HAS_PLTPU or not on_tpu
+            or n % q_block != 0 or q_block % 128 != 0):
+        return _fused_block_reference(x_flat, w_theta, phiT, gT, w_out_s)
+    return _fused_block_op(x_flat, w_theta, phiT, gT, w_out_s)
 
 
 def nonlocal_attention_packed(thetaT, phiT, gT):

@@ -71,31 +71,33 @@ class NonLocalBlock(nn.Module):
         sigma = self.param("sigma", nn.initializers.zeros, ())
 
         if self.use_pallas:
-            # CHANNEL-PACKED path (TPU): every projection runs directly in the
-            # kernel's (B, C, N) layout — the NHWC form would write the 8/32-
-            # channel theta/phi/g activations minor-dim lane-padded 16x/4x in
-            # HBM (profiler-measured to be most of the block's cost; see
-            # kernels/attention.py). The 1x1 convs become explicit matmuls on
-            # identity-extracted SN kernels; same math, same param tree.
-            from scrabblegan_tpu.kernels.attention import nonlocal_attention_packed
+            # FUSED-BLOCK path (TPU): the NHWC form writes the 8/32-channel
+            # theta/phi/g activations minor-dim lane-padded 16x/4x in HBM
+            # (profiler-measured to be most of the block's cost). Instead the
+            # 1x1 convs become matmuls on identity-extracted SN kernels: the
+            # small pooled K-side (phi/g) is computed here in a (B, D, H, W)
+            # layout (one x read, ~1.6x pad instead of 16x), and everything
+            # else — theta projection, softmax core, out projection, residual
+            # — runs as ONE Pallas kernel over NHWC x with no transposes
+            # (kernels/attention.py:fused_nonlocal_block). Same param tree,
+            # same function, differentiable (tested).
+            from scrabblegan_tpu.kernels.attention import fused_nonlocal_block
 
             w_theta = _extract_kernel(theta_conv, c, self.dtype, train)
             w_phi = _extract_kernel(phi_conv, c, self.dtype, train)
             w_g = _extract_kernel(g_conv, c, self.dtype, train)
             w_out = _extract_kernel(out_conv, c_g, self.dtype, train)
 
-            xT = jnp.swapaxes(x.reshape(b, h * w, c), 1, 2)  # (B, C, N)
-            thetaT = jnp.einsum("cd,bcn->bdn", w_theta, xT)  # (B, Ca, N)
-            xT4 = xT.reshape(b, c, h, w)
-            phiT = _max_pool_2x2_packed(
-                jnp.einsum("cd,bchw->bdhw", w_phi, xT4)).reshape(b, c_attn, -1)
-            gT = _max_pool_2x2_packed(
-                jnp.einsum("cd,bchw->bdhw", w_g, xT4)).reshape(b, c_g, -1)
+            pg = jnp.einsum("bhwc,cd->bdhw", x,
+                            jnp.concatenate([w_phi, w_g], axis=1))
+            pg = _max_pool_2x2_packed(pg)                  # (B, Ca+Cg, H/2, W/2)
+            phiT = pg[:, :c_attn].reshape(b, c_attn, -1)
+            gT = pg[:, c_attn:].reshape(b, c_g, -1)
 
-            attn_gT = nonlocal_attention_packed(thetaT, phiT, gT)  # (B, Cg, N)
-            outT = jnp.einsum("dc,bdn->bcn", w_out, attn_gT)       # (B, C, N)
-            out = jnp.swapaxes(outT, 1, 2).reshape(b, h, w, c)
-            return sigma.astype(self.dtype) * out + x
+            out = fused_nonlocal_block(x.reshape(b, h * w, c), w_theta,
+                                       phiT, gT, w_out,
+                                       sigma.astype(self.dtype))
+            return out.reshape(b, h, w, c)
 
         theta = theta_conv(x, train)
         phi = phi_conv(x, train)

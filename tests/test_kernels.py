@@ -106,6 +106,64 @@ class TestNonlocalAttention:
                                    np.asarray(ref, np.float32), rtol=2e-2,
                                    atol=2e-2)
 
+    @pytest.mark.parametrize("q,k,dt,tol", [
+        # f32 tol: the kernel folds log2(e) into w_theta (one extra f32
+        # rounding on the weights) vs the composition's post-matmul scale
+        (512, 128, jnp.float32, 5e-4),
+        (2560, 640, jnp.float32, 5e-4),    # len-5 generator block shape
+        (5120, 1280, jnp.float32, 5e-4),   # len-10, spans >1 q-block
+        # bf16: the kernel's e/divisor are bf16 (MXU-rided softmax sum) while
+        # the CPU composition keeps the softmax f32 — a few-ulp disagreement
+        # on ~0.1% of elements is the expected quantization, not a regression
+        (512, 128, jnp.bfloat16, 1e-1),
+    ])
+    def test_fused_block_kernel_interpret(self, q, k, dt, tol):
+        """The whole-block fused kernel (theta proj -> softmax core -> out
+        proj -> residual over NHWC x) must match the pure-JAX composition
+        that also serves as its backward."""
+        from scrabblegan_tpu.kernels.attention import (
+            _fused_block_forward, _fused_block_reference)
+
+        b, c, ca, cg = 2, 64, 8, 32
+        x = (_rand(30, (b, q, c))).astype(dt)
+        wt = (0.2 * _rand(31, (c, ca))).astype(dt)
+        phiT = _rand(32, (b, ca, k)).astype(dt)
+        gT = _rand(33, (b, cg, k)).astype(dt)
+        wo = (0.2 * _rand(34, (cg, c))).astype(dt)
+        got = _fused_block_forward(x, wt, phiT, gT, wo, interpret=True)
+        ref = _fused_block_reference(x, wt, phiT, gT, wo)
+        assert got.dtype == dt
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=tol, atol=tol)
+
+    def test_fused_block_grads_route_through_composition(self):
+        """fused_nonlocal_block must be differentiable in all six args; on CPU
+        it computes via the composition, whose grads = autodiff exactly."""
+        from scrabblegan_tpu.kernels.attention import (
+            _fused_block_reference, fused_nonlocal_block)
+
+        b, q, k, c, ca, cg = 1, 256, 64, 64, 8, 32
+        x = _rand(40, (b, q, c))
+        wt = 0.2 * _rand(41, (c, ca))
+        phiT = _rand(42, (b, ca, k))
+        gT = _rand(43, (b, cg, k))
+        wo = 0.2 * _rand(44, (cg, c))
+        sigma = jnp.asarray(0.7)
+
+        def f(*args):
+            return jnp.sum(jnp.sin(fused_nonlocal_block(*args)))
+
+        def f_ref(x, wt, phiT, gT, wo, sigma):
+            return jnp.sum(jnp.sin(
+                _fused_block_reference(x, wt, phiT, gT, wo * sigma)))
+
+        got = jax.grad(f, argnums=tuple(range(6)))(x, wt, phiT, gT, wo, sigma)
+        ref = jax.grad(f_ref, argnums=tuple(range(6)))(x, wt, phiT, gT, wo, sigma)
+        for a, b_ in zip(got, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-5)
+
     def test_rows_are_convex_combinations(self):
         """softmax attention output must lie within [min(g), max(g)] per channel."""
         theta = _rand(3, (1, 256, 8))
