@@ -189,6 +189,12 @@ class ParallelConfig:
     # stay replicated (an all-gather of a tiny BN scale costs more than it
     # saves).
     fsdp_min_size: int = 65536
+    # Tensor parallelism (parallel/tp.py): >1 reshapes the mesh to a 2-D
+    # (data, model) grid and splits every weight's output-channel axis across
+    # the model axis — activations inherit channel shardings through GSPMD,
+    # so per-device conv FLOPs and activation memory drop with this factor.
+    # Mutually exclusive with fsdp for now. num_devices must be divisible.
+    model_parallel: int = 1
 
 
 @dataclass(frozen=True)

@@ -24,10 +24,21 @@ from scrabblegan_tpu.train.state import ModelBundle
 from scrabblegan_tpu.train.step import make_chunked_train_step, make_train_step
 
 
-def make_mesh(num_devices: int = -1, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(num_devices: int = -1, model_parallel: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D Mesh('data') — or, with model_parallel > 1, a 2-D
+    Mesh(('data', 'model')) of shape (num_devices/mp, mp). The model axis is
+    laid out minor (adjacent devices) so its collectives ride the shortest ICI
+    hops; P('data') batch shardings work unchanged on either mesh."""
     devs = list(devices) if devices is not None else jax.devices()
     if num_devices > 0:
         devs = devs[:num_devices]
+    if model_parallel > 1:
+        if len(devs) % model_parallel:
+            raise ValueError(f"{len(devs)} devices not divisible by "
+                             f"model_parallel={model_parallel}")
+        return Mesh(np.array(devs).reshape(-1, model_parallel),
+                    ("data", "model"))
     return Mesh(np.array(devs), ("data",))
 
 
@@ -43,6 +54,32 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def state_sharding_for(cfg: Config, mesh: Mesh, state_shapes=None):
+    """The TrainState's sharding under this config: replicated (default),
+    FSDP (parallel.fsdp — weights split at rest, gathered at use), or TP
+    (parallel.model_parallel > 1 — output channels split, computation stays
+    sharded). state_shapes (jax.eval_shape of the TrainState) is required for
+    the per-leaf modes."""
+    tp = getattr(cfg.parallel, "model_parallel", 1) > 1 and "model" in mesh.shape
+    fsdp = getattr(cfg.parallel, "fsdp", False) and mesh.shape.get("data", 1) > 1
+    if not (tp or fsdp):
+        return replicate_sharding(mesh)
+    if tp and fsdp:
+        raise ValueError("parallel.fsdp and parallel.model_parallel>1 are "
+                         "mutually exclusive (compose in a future round)")
+    if state_shapes is None:
+        raise ValueError("fsdp/tp state sharding requires state_shapes "
+                         "(jax.eval_shape of the TrainState)")
+    if tp:
+        from scrabblegan_tpu.parallel.tp import tp_state_shardings
+
+        return tp_state_shardings(mesh, state_shapes)
+    from scrabblegan_tpu.parallel.fsdp import state_shardings
+
+    return state_shardings(mesh, state_shapes,
+                           min_size=cfg.parallel.fsdp_min_size)
 
 
 def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
@@ -65,15 +102,7 @@ def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
     else:
         step = make_train_step(cfg, models)
         bsh = batch_sharding(mesh)
-    ssh = rep
-    if getattr(cfg.parallel, "fsdp", False) and len(mesh.devices.flat) > 1:
-        if state_shapes is None:
-            raise ValueError("fsdp=True requires state_shapes (jax.eval_shape "
-                             "of the TrainState)")
-        from scrabblegan_tpu.parallel.fsdp import state_shardings
-
-        ssh = state_shardings(mesh, state_shapes,
-                              min_size=cfg.parallel.fsdp_min_size)
+    ssh = state_sharding_for(cfg, mesh, state_shapes)
     return jax.jit(
         step,
         in_shardings=(ssh, bsh, rep),

@@ -107,10 +107,11 @@ class Trainer:
             os.makedirs(p, exist_ok=True)
 
         self.models = build_models(cfg)
-        self.mesh = make_mesh(cfg.parallel.num_devices)
+        self.mesh = make_mesh(cfg.parallel.num_devices,
+                              cfg.parallel.model_parallel)
         self.steps_per_call = max(1, cfg.parallel.steps_per_call)
         state_shapes = None
-        if cfg.parallel.fsdp:
+        if cfg.parallel.fsdp or cfg.parallel.model_parallel > 1:
             state_shapes = jax.eval_shape(
                 lambda: create_train_state(cfg, jax.random.PRNGKey(cfg.seed),
                                            self.models))
@@ -118,13 +119,10 @@ class Trainer:
             cfg, self.models, self.mesh, chunked=self.steps_per_call > 1,
             state_shapes=state_shapes)
         self._rep = replicate_sharding(self.mesh)
-        # fsdp: the state enters/leaves the step in sharded layout
-        self._state_sh = self._rep
-        if cfg.parallel.fsdp and len(self.mesh.devices.flat) > 1:
-            from scrabblegan_tpu.parallel.fsdp import state_shardings
+        # fsdp/tp: the state enters/leaves the step in sharded layout
+        from scrabblegan_tpu.parallel.mesh import state_sharding_for
 
-            self._state_sh = state_shardings(
-                self.mesh, state_shapes, min_size=cfg.parallel.fsdp_min_size)
+        self._state_sh = state_sharding_for(self.cfg, self.mesh, state_shapes)
         if self.steps_per_call > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
