@@ -320,12 +320,10 @@ def _fused_block_kernel(x_ref, wt_ref, phiT_ref, gT_ref, wo_ref, out_ref):
     directly, so neither the lane-padded (B, N, 8/32) projection activations
     nor any (B, C, N) boundary transpose of x ever exist in HBM. phiT/gT are
     the small pooled K-side operands, computed outside (pooling needs the
-    (H, W) structure; they are ~1/32 and ~1/8 of x)."""
-    j = pl.program_id(1)
-    qb = out_ref.shape[1]
-    x = x_ref[0]                                            # (N, C)
-    xq = jax.lax.dynamic_slice_in_dim(x, j * qb, qb, axis=0)  # (QB, C)
-    dt = x.dtype
+    (H, W) structure; they are ~1/32 and ~1/8 of x). The q-block tile of x
+    arrives via the BlockSpec (Mosaic has no in-kernel dynamic_slice)."""
+    xq = x_ref[0]                                           # (QB, C)
+    dt = xq.dtype
 
     theta = jax.lax.dot_general(
         xq, wt_ref[...], (((1,), (0,)), ((), ())),
@@ -368,7 +366,7 @@ def _fused_block_forward(x_flat, w_theta, phiT, gT, w_out_s,
         out_shape=jax.ShapeDtypeStruct((b, n, c), x_flat.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, q_block, c), lambda i, j: (i, j, 0)),
             pl.BlockSpec((c, ca), lambda i, j: (0, 0)),
             pl.BlockSpec((1, ca, k), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, cg, k), lambda i, j: (i, 0, 0)),

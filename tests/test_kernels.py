@@ -164,6 +164,35 @@ class TestNonlocalAttention:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=2e-4, atol=2e-5)
 
+    @pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+    def test_kernels_lower_for_tpu(self, dt):
+        """Cross-platform Mosaic lowering regression gate: jax.export with
+        platforms=['tpu'] runs the ACTUAL pallas->Mosaic lowering on CPU —
+        the step that rejected dynamic_slice inside the fused-block kernel
+        (NotImplementedError at jit time on the real chip) while interpret
+        mode passed. Fails on any primitive/BlockSpec Mosaic can't lower, at
+        the real len-5 attention shapes, without needing a TPU."""
+        from jax import export
+
+        from scrabblegan_tpu.kernels.attention import (
+            _fused_block_forward, _pallas_backward, _pallas_forward)
+
+        b, q, k, c, ca, cg = 2, 2560, 640, 64, 8, 32
+        x = jnp.zeros((b, q, c), dt)
+        wt = jnp.zeros((c, ca), dt)
+        thetaT = jnp.zeros((b, ca, q), dt)
+        phiT = jnp.zeros((b, ca, k), dt)
+        gT = jnp.zeros((b, cg, k), dt)
+        doutT = jnp.zeros((b, cg, q), dt)
+        wo = jnp.zeros((cg, c), dt)
+        for fn, args in [
+            (_pallas_forward, (thetaT, phiT, gT)),
+            (_pallas_backward, (thetaT, phiT, gT, doutT)),
+            (_fused_block_forward, (x, wt, phiT, gT, wo)),
+        ]:
+            exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+            assert exp.platforms == ("tpu",)
+
     def test_rows_are_convex_combinations(self):
         """softmax attention output must lie within [min(g), max(g)] per channel."""
         theta = _rand(3, (1, 256, 8))
