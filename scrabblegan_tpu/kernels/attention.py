@@ -409,22 +409,23 @@ def _fused_block_bwd(residuals, d_out):
 _fused_block_op.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
-def fused_nonlocal_block(x_flat, w_theta, phiT, gT, w_out, sigma):
+def fused_nonlocal_block(x_flat, w_theta, phiT, gT, w_out, sigma,
+                         fuse: bool = True):
     """x_flat (B, N, C) + sigma * Proj_out(Attend(x_flat w_theta, phiT, gT)).
 
-    The full non-local block around precomputed pooled K-side operands:
-    theta/out projections, softmax core, and the residual run as ONE Pallas
-    kernel on TPU (no lane-padded projection activations, no transposes of x
-    in HBM); off-TPU or at non-tiling shapes it computes the identical
-    composition in XLA. Differentiable everywhere — the backward is the VJP
-    of the composition, which itself uses the fused Pallas attention backward
-    on TPU."""
+    The full non-local block around precomputed pooled K-side operands.
+    With fuse=True, theta/out projections, softmax core, and the residual run
+    as ONE Pallas kernel on TPU; with fuse=False (the 'packed' dataflow), the
+    identical composition runs in XLA around the packed Pallas attention core.
+    Off-TPU or at non-tiling shapes both fall back to the XLA composition.
+    Differentiable everywhere — the backward is the VJP of the composition,
+    which itself uses the fused Pallas attention backward on TPU."""
     n, k = x_flat.shape[1], phiT.shape[2]
     w_out_s = (w_out.astype(jnp.float32)
                * sigma.astype(jnp.float32)).astype(w_out.dtype)
     q_block = _pick_q_block(n, k)
     on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
-    if (not _USE_FUSED_BLOCK or not _HAS_PLTPU or not on_tpu
+    if (not fuse or not _USE_FUSED_BLOCK or not _HAS_PLTPU or not on_tpu
             or n % q_block != 0 or q_block % 128 != 0):
         return _fused_block_reference(x_flat, w_theta, phiT, gT, w_out_s)
     return _fused_block_op(x_flat, w_theta, phiT, gT, w_out_s)

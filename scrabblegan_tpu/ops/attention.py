@@ -5,18 +5,36 @@ theta (C/8), phi (C/8, maxpool 2x2), g (C/2, maxpool 2x2); attn = softmax(theta 
 output = input + sigma * conv1x1(attn g) with a learned scalar `sigma` initialized to 0.
 
 This is the only O((HW)^2) op in the framework (SURVEY.md §5 "sequence-scaling
-analog": image width is the sequence axis, max 160px). The default path is pure-XLA
-in the reference's NHWC shapes; `use_pallas` switches the WHOLE block to a
-channel-packed (B, C, N) dataflow — 1x1 projections as explicit matmuls on
-identity-extracted SN kernels, pooling on packed activations, and the fused
-Pallas attention core (`scrabblegan_tpu.kernels.attention`) without boundary
-transposes. Both paths share one param tree and compute the same function
-(tested); the packed one exists because NHWC materializes the 8/32-channel
-projection activations lane-padded 16x/4x in HBM.
+analog": image width is the sequence axis, max 160px). With use_pallas=False the
+block is pure XLA in the reference's NHWC shapes. With use_pallas=True, `dataflow`
+selects how the ops AROUND the Pallas softmax core are laid out — all three
+compute the same function on one shared param tree (tested):
+
+- 'nhwc' (default): 1x1 convs + pooling stay NHWC in XLA; only the flattened
+  attention operands are transposed into the kernel's channel-packed (B, C, N)
+  layout at the boundary. Fastest measured on v5e: 47.0k img/s len-5 inference,
+  29.0 train steps/s len-5 (microbench, bf16 b1024 / f32 b16).
+- 'packed': the 1x1 projections become matmuls on identity-extracted SN kernels
+  feeding the kernel directly in (B, C, N); pooling runs on packed activations;
+  no boundary transposes. Motivated by the profiler showing the NHWC projection
+  activations lane-padded 16x/4x in HBM — but MEASURED SLOWER on v5e (38.7k
+  img/s len-5, 26.6 steps/s): the "bdhw" projection einsum's transposed output
+  costs more than the lane-padding it avoids, and XLA fuses the NHWC 1x1 convs
+  into their neighbors better than the hand layout.
+- 'fused': 'packed' plus the whole block (theta projection, softmax core, out
+  projection, residual) as ONE Pallas kernel (kernels/attention.py:
+  fused_nonlocal_block). Also measured slower (30.8k img/s len-5): the kernel
+  serializes projections the XLA scheduler would overlap, and its x tiles
+  (QB, 64) re-pad the lane dim the packed matmuls avoided.
+
+Both non-default dataflows are kept as tested, selectable negative results
+(env SCRABBLEGAN_ATTN_DATAFLOW or the `dataflow` attribute) — the balance may
+flip on other TPU generations or compiler versions.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -52,6 +70,9 @@ def _max_pool_2x2_packed(xT4):
 class NonLocalBlock(nn.Module):
     use_sn: bool = True
     use_pallas: bool = False
+    # '' resolves to env SCRABBLEGAN_ATTN_DATAFLOW or 'nhwc' (the measured-
+    # fastest layout on v5e — see module docstring for the A/B numbers).
+    dataflow: str = ""
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -59,6 +80,10 @@ class NonLocalBlock(nn.Module):
         b, h, w, c = x.shape
         c_attn = c // 8
         c_g = c // 2
+        dataflow = (self.dataflow
+                    or os.environ.get("SCRABBLEGAN_ATTN_DATAFLOW", "nhwc"))
+        if dataflow not in ("nhwc", "packed", "fused"):
+            raise ValueError(f"Unknown attention dataflow: {dataflow!r}")
 
         theta_conv = SNConv(c_attn, (1, 1), use_bias=False, use_sn=self.use_sn,
                             dtype=self.dtype, name="theta")
@@ -70,17 +95,15 @@ class NonLocalBlock(nn.Module):
                           dtype=self.dtype, name="out")
         sigma = self.param("sigma", nn.initializers.zeros, ())
 
-        if self.use_pallas:
-            # FUSED-BLOCK path (TPU): the NHWC form writes the 8/32-channel
-            # theta/phi/g activations minor-dim lane-padded 16x/4x in HBM
-            # (profiler-measured to be most of the block's cost). Instead the
-            # 1x1 convs become matmuls on identity-extracted SN kernels: the
-            # small pooled K-side (phi/g) is computed here in a (B, D, H, W)
-            # layout (one x read, ~1.6x pad instead of 16x), and everything
-            # else — theta projection, softmax core, out projection, residual
-            # — runs as ONE Pallas kernel over NHWC x with no transposes
-            # (kernels/attention.py:fused_nonlocal_block). Same param tree,
-            # same function, differentiable (tested).
+        if self.use_pallas and dataflow in ("packed", "fused"):
+            # PACKED dataflows: the 1x1 convs become matmuls on identity-
+            # extracted SN kernels; the small pooled K-side (phi/g) is computed
+            # here in a (B, D, H, W) layout; theta projection + softmax core +
+            # out projection + residual run either as the XLA composition
+            # around the packed Pallas core ('packed') or as ONE Pallas kernel
+            # ('fused', kernels/attention.py:fused_nonlocal_block). Same param
+            # tree, same function, differentiable (tested) — but both measured
+            # SLOWER than 'nhwc' on v5e; see module docstring.
             from scrabblegan_tpu.kernels.attention import fused_nonlocal_block
 
             w_theta = _extract_kernel(theta_conv, c, self.dtype, train)
@@ -96,7 +119,8 @@ class NonLocalBlock(nn.Module):
 
             out = fused_nonlocal_block(x.reshape(b, h * w, c), w_theta,
                                        phiT, gT, w_out,
-                                       sigma.astype(self.dtype))
+                                       sigma.astype(self.dtype),
+                                       fuse=dataflow == "fused")
             return out.reshape(b, h, w, c)
 
         theta = theta_conv(x, train)
@@ -110,12 +134,20 @@ class NonLocalBlock(nn.Module):
         phi_flat = phi.reshape(b, (h // 2) * (w // 2), c_attn)
         g_flat = g.reshape(b, (h // 2) * (w // 2), c_g)
 
-        attn = jnp.einsum(
-            "bqc,bkc->bqk", theta_flat, phi_flat, preferred_element_type=jnp.float32
-        )
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        attn_g = jnp.einsum("bqk,bkc->bqc", attn, g_flat, preferred_element_type=jnp.float32)
-        attn_g = attn_g.astype(self.dtype)
+        if self.use_pallas:
+            # 'nhwc' dataflow: only the attention core runs in the kernel's
+            # channel-packed layout, via cheap boundary transposes of the
+            # compact flattened operands.
+            from scrabblegan_tpu.kernels.attention import nonlocal_attention
+
+            attn_g = nonlocal_attention(theta_flat, phi_flat, g_flat)
+        else:
+            attn = jnp.einsum(
+                "bqc,bkc->bqk", theta_flat, phi_flat, preferred_element_type=jnp.float32
+            )
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            attn_g = jnp.einsum("bqk,bkc->bqc", attn, g_flat, preferred_element_type=jnp.float32)
+            attn_g = attn_g.astype(self.dtype)
 
         attn_g = attn_g.reshape(b, h, w, c_g)
         attn_g = out_conv(attn_g, train)

@@ -206,13 +206,15 @@ class TestAttention:
         y, _ = blk.apply(v, x, True, mutable=["batch_stats"])
         assert y.shape == x.shape
 
-    def test_packed_path_matches_nhwc(self, rng):
-        """The channel-packed (use_pallas) dataflow — identity-extracted SN
-        kernels, packed einsum projections, packed pooling — must share the
-        NHWC path's param tree and compute the same function AND gradients."""
+    @pytest.mark.parametrize("dataflow", ["nhwc", "packed", "fused"])
+    def test_packed_path_matches_nhwc(self, rng, dataflow):
+        """Every use_pallas dataflow — 'nhwc' (default), 'packed' (identity-
+        extracted SN kernels, packed einsum projections, packed pooling), and
+        'fused' (whole-block kernel) — must share the pure-XLA path's param
+        tree and compute the same function AND gradients."""
         x = jax.random.normal(rng, (2, 8, 16, 64))
         ref_blk = NonLocalBlock(use_sn=True, use_pallas=False)
-        pkd_blk = NonLocalBlock(use_sn=True, use_pallas=True)
+        pkd_blk = NonLocalBlock(use_sn=True, use_pallas=True, dataflow=dataflow)
         v_ref = ref_blk.init(rng, x, True)
         v_pkd = pkd_blk.init(rng, x, True)
         jax.tree.map(np.testing.assert_array_equal, v_ref, v_pkd)
