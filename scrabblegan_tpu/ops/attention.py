@@ -7,13 +7,17 @@ output = input + sigma * conv1x1(attn g) with a learned scalar `sigma` initializ
 This is the only O((HW)^2) op in the framework (SURVEY.md §5 "sequence-scaling
 analog": image width is the sequence axis, max 160px). With use_pallas=False the
 block is pure XLA in the reference's NHWC shapes. With use_pallas=True, `dataflow`
-selects how the ops AROUND the Pallas softmax core are laid out — all three
+selects how the ops AROUND the Pallas softmax core are laid out — all four
 compute the same function on one shared param tree (tested):
 
-- 'nhwc' (default): 1x1 convs + pooling stay NHWC in XLA; only the flattened
+- 'nhwc1' (default): like 'nhwc' but the three 1x1 projections run as ONE
+  matmul with natural bhwd output (x read once, one lane-padded activation
+  written instead of three). Fastest measured on v5e: 49.3k img/s len-5 /
+  20.5k len-10 inference, train neutral (microbench, bf16 b1024 / f32 b16).
+- 'nhwc': 1x1 convs + pooling stay NHWC in XLA; only the flattened
   attention operands are transposed into the kernel's channel-packed (B, C, N)
-  layout at the boundary. Fastest measured on v5e: 47.0k img/s len-5 inference,
-  29.0 train steps/s len-5 (microbench, bf16 b1024 / f32 b16).
+  layout at the boundary. 48.0k img/s len-5 inference, 28.9 train steps/s
+  len-5.
 - 'packed': the 1x1 projections become matmuls on identity-extracted SN kernels
   feeding the kernel directly in (B, C, N); pooling runs on packed activations;
   no boundary transposes. Motivated by the profiler showing the NHWC projection
@@ -27,7 +31,7 @@ compute the same function on one shared param tree (tested):
   serializes projections the XLA scheduler would overlap, and its x tiles
   (QB, 64) re-pad the lane dim the packed matmuls avoided.
 
-Both non-default dataflows are kept as tested, selectable negative results
+The non-default dataflows are kept as tested, selectable alternatives
 (env SCRABBLEGAN_ATTN_DATAFLOW or the `dataflow` attribute) — the balance may
 flip on other TPU generations or compiler versions.
 """
@@ -70,7 +74,7 @@ def _max_pool_2x2_packed(xT4):
 class NonLocalBlock(nn.Module):
     use_sn: bool = True
     use_pallas: bool = False
-    # '' resolves to env SCRABBLEGAN_ATTN_DATAFLOW or 'nhwc' (the measured-
+    # '' resolves to env SCRABBLEGAN_ATTN_DATAFLOW or 'nhwc1' (the measured-
     # fastest layout on v5e — see module docstring for the A/B numbers).
     dataflow: str = ""
     dtype: Any = jnp.float32
@@ -81,8 +85,8 @@ class NonLocalBlock(nn.Module):
         c_attn = c // 8
         c_g = c // 2
         dataflow = (self.dataflow
-                    or os.environ.get("SCRABBLEGAN_ATTN_DATAFLOW", "nhwc"))
-        if dataflow not in ("nhwc", "packed", "fused"):
+                    or os.environ.get("SCRABBLEGAN_ATTN_DATAFLOW", "nhwc1"))
+        if dataflow not in ("nhwc", "nhwc1", "packed", "fused"):
             raise ValueError(f"Unknown attention dataflow: {dataflow!r}")
 
         theta_conv = SNConv(c_attn, (1, 1), use_bias=False, use_sn=self.use_sn,
@@ -123,9 +127,23 @@ class NonLocalBlock(nn.Module):
                                        fuse=dataflow == "fused")
             return out.reshape(b, h, w, c)
 
-        theta = theta_conv(x, train)
-        phi = phi_conv(x, train)
-        g = g_conv(x, train)
+        if self.use_pallas and dataflow == "nhwc1":
+            # 'nhwc1': the three 1x1 projections as ONE matmul with natural
+            # bhwd output — x read once, one 128-lane-padded (B, H, W, 3C/4)
+            # activation written instead of three (each independently padded
+            # to 128 lanes in HBM). Layouts stay NHWC everywhere (what the
+            # dataflow A/B showed XLA handles best); only the op count drops.
+            w3 = jnp.concatenate(
+                [_extract_kernel(conv, c, self.dtype, train)
+                 for conv in (theta_conv, phi_conv, g_conv)], axis=1)
+            proj = jnp.einsum("bhwc,cd->bhwd", x, w3)
+            theta = proj[..., :c_attn]
+            phi = proj[..., c_attn:2 * c_attn]
+            g = proj[..., 2 * c_attn:]
+        else:
+            theta = theta_conv(x, train)
+            phi = phi_conv(x, train)
+            g = g_conv(x, train)
 
         phi = nn.max_pool(phi, (2, 2), strides=(2, 2))
         g = nn.max_pool(g, (2, 2), strides=(2, 2))

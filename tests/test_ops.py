@@ -206,7 +206,7 @@ class TestAttention:
         y, _ = blk.apply(v, x, True, mutable=["batch_stats"])
         assert y.shape == x.shape
 
-    @pytest.mark.parametrize("dataflow", ["nhwc", "packed", "fused"])
+    @pytest.mark.parametrize("dataflow", ["nhwc", "nhwc1", "packed", "fused"])
     def test_packed_path_matches_nhwc(self, rng, dataflow):
         """Every use_pallas dataflow — 'nhwc' (default), 'packed' (identity-
         extracted SN kernels, packed einsum projections, packed pooling), and
