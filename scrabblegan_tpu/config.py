@@ -64,6 +64,15 @@ class OptimizerConfig:
     style_loss_mode: str = "adversarial"
     # Deprecated alias: True forces style_loss_mode='bug_compatible'.
     bug_compatible_style_loss: bool = False
+    # Exponential moving average of the generator weights (BigGAN's standard
+    # serving trick, arXiv:1809.11096 §3 — absent from the reference even
+    # though its G is BigGAN-derived). 0.0 = off (reference parity). When on,
+    # the EMA tree updates whenever G updates (the disc_iters cadence), and
+    # the per-epoch generator EXPORT + sample grids use the EMA weights; the
+    # live weights keep training. Checkpoints are config-coupled: a run with
+    # g_ema_decay>0 adds a `g_ema` tree to the state (restore with the same
+    # setting).
+    g_ema_decay: float = 0.0
 
 
 @dataclass(frozen=True)

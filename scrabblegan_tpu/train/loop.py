@@ -456,18 +456,26 @@ class Trainer:
             host_state = jax.device_get(state)
             ckpt_lib.save_state(self.ckpt_path, host_state,
                                 int(host_state.step))
+        # The export serves the EMA weights when optimizer.g_ema_decay > 0
+        # (BigGAN convention); the live weights stay in the full-state ckpt.
+        use_ema = state.g_ema is not None
         if host_state is not None:
-            g_params, g_stats = host_state.g_params, host_state.g_stats
+            g_params = host_state.g_ema if use_ema else host_state.g_params
+            g_stats = host_state.g_stats
         else:
-            g_params, g_stats = jax.device_get((state.g_params, state.g_stats))
+            g_params, g_stats = jax.device_get(
+                (state.g_ema if use_ema else state.g_params, state.g_stats))
         ckpt_lib.save_generator(self.model_path, g_params, g_stats, epoch)
 
     def generate(self, state: TrainState, labels: np.ndarray,
                  style_imgs: Optional[np.ndarray] = None,
                  z: Optional[np.ndarray] = None):
         """Inference-mode generation on the current params (BN uses running stats,
-        matching generate_and_save_images' training=False, data_utils.py:507)."""
-        variables = {"params": state.g_params, "batch_stats": state.g_stats}
+        matching generate_and_save_images' training=False, data_utils.py:507).
+        Uses the EMA weights when enabled — the grids then show exactly what
+        the per-epoch export serves."""
+        params = state.g_ema if state.g_ema is not None else state.g_params
+        variables = {"params": params, "batch_stats": state.g_stats}
         kwargs = {}
         if self.cfg.shared.z_source == "style":
             kwargs["style_imgs"] = style_imgs

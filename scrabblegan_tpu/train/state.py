@@ -52,6 +52,10 @@ class TrainState(struct.PyTreeNode):
     d_opt: Any
     r_opt: Any
     w_opt: Any
+    # EMA copy of g_params when optimizer.g_ema_decay > 0, else None (None is
+    # an empty pytree, so EMA-off states keep the exact round-1 leaf set and
+    # old checkpoints restore unchanged).
+    g_ema: Any = None
 
 
 def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> ModelBundle:
@@ -165,6 +169,9 @@ def create_train_state(cfg: Config, rng: jax.Array,
         d_opt=opts["d"].init(d_params),
         r_opt=opts["r"].init(r_params),
         w_opt=opts["w"].init(w_params),
+        # EMA starts at the init weights (BigGAN convention)
+        g_ema=(jax.tree.map(jnp.array, g_params)
+               if cfg.optimizer.g_ema_decay > 0 else None),
     )
 
 

@@ -292,13 +292,20 @@ def make_train_step(cfg: Config, models: ModelBundle):
         w_updates, w_opt = opts["w"].update(w_grads, state.w_opt, state.w_params)
         w_params = jax.tree.map(lambda p, u: p + u, state.w_params, w_updates)
 
-        # G updates every disc_iters-th step (data_utils.py:462)
+        # G updates every disc_iters-th step (data_utils.py:462); the EMA tree
+        # (optimizer.g_ema_decay) advances on the same cadence
+        ema_d = o.g_ema_decay
+
         def g_update(_):
             upd, new_opt = opts["g"].update(g_grads, state.g_opt, state.g_params)
-            return jax.tree.map(lambda p, u: p + u, state.g_params, upd), new_opt
+            new_params = jax.tree.map(lambda p, u: p + u, state.g_params, upd)
+            new_ema = (jax.tree.map(lambda e, p: ema_d * e + (1.0 - ema_d) * p,
+                                    state.g_ema, new_params)
+                       if ema_d > 0 else state.g_ema)
+            return new_params, new_opt, new_ema
 
         def g_skip(_):
-            return state.g_params, state.g_opt
+            return state.g_params, state.g_opt, state.g_ema
 
         if o.disc_iters == 1:
             # static fast path: the cadence is every step (the reference's gin
@@ -306,10 +313,11 @@ def make_train_step(cfg: Config, models: ModelBundle):
             # operand/result trees (all G params + Adam moments) are copied at
             # the branch boundary every step (profiler: ~1,600 tiny async
             # copies, ~2-3 ms of a 48 ms len-10 step)
-            g_params, g_opt = g_update(None)
+            g_params, g_opt, g_ema = g_update(None)
         else:
             take_g_step = (state.step + 1) % o.disc_iters == 0
-            g_params, g_opt = jax.lax.cond(take_g_step, g_update, g_skip, None)
+            g_params, g_opt, g_ema = jax.lax.cond(
+                take_g_step, g_update, g_skip, None)
 
         new_state = state.replace(
             step=state.step + 1,
@@ -318,6 +326,7 @@ def make_train_step(cfg: Config, models: ModelBundle):
             r_params=r_params, r_stats=r_stats,
             w_params=w_params, w_stats=w_stats,
             g_opt=g_opt, d_opt=d_opt, r_opt=r_opt, w_opt=w_opt,
+            g_ema=g_ema,
         )
         return new_state, metrics
 

@@ -58,6 +58,6 @@ def measure(b):
 
 if __name__ == "__main__":
     out = {}
-    for b in (16, 32, 64, 128, 256):
+    for b in (16, 64, 256):
         out[b] = measure(b)
     print({b: round(s, 2) for b, s in out.items()})

@@ -83,6 +83,13 @@ RUNS = {
                "shared.dtype": "bfloat16"},
     "pi": {"parallel.shape_mode": "padded",
            "parallel.bucket_pairing": "independent"},
+    # pm + generator weight EMA (BigGAN arXiv:1809.11096 §3; decay 0.999
+    # suits the 25k-step schedule — 0.9999 would still be ~8%-initialized at
+    # the end). The per-epoch export and grids serve the EMA weights, so
+    # quality.jsonl scores the EMA generator directly — A/B vs pm
+    "pmema": {"parallel.shape_mode": "padded",
+              "parallel.bucket_pairing": "matched",
+              "optimizer.g_ema_decay": 0.999},
     "bugstyle": {"parallel.shape_mode": "padded",
                  "parallel.bucket_pairing": "matched",
                  "optimizer.bug_compatible_style_loss": True},
