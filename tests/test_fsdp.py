@@ -89,3 +89,26 @@ class TestFsdpStep:
                                                - b.astype(jnp.float32)))),
             jax.device_get(s_rep.g_params), jax.device_get(s_fsdp.g_params))
         assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
+class TestEmaSharding:
+    def test_g_ema_leaves_co_shard_with_g_params(self):
+        """An EMA-enabled state (optimizer.g_ema_decay>0) adds a params-shaped
+        g_ema tree; the per-leaf FSDP rule must give each EMA leaf exactly the
+        sharding of its parameter twin (eval_shape only — no step compile)."""
+        from scrabblegan_tpu.config import OptimizerConfig
+
+        cfg = Config(
+            optimizer=OptimizerConfig(g_ema_decay=0.999),
+            shared=dataclasses.replace(SharedSpecs(), batch_size=B),
+            parallel=ParallelConfig(fsdp=True, fsdp_min_size=4096),
+        )
+        mesh = make_mesh(8)
+        shapes = jax.eval_shape(
+            lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
+        sh = state_shardings(mesh, shapes, min_size=4096)
+        assert jax.tree_util.tree_structure(sh.g_ema) == \
+            jax.tree_util.tree_structure(sh.g_params)
+        for a, b in zip(jax.tree_util.tree_leaves(sh.g_ema),
+                        jax.tree_util.tree_leaves(sh.g_params)):
+            assert a.spec == b.spec
