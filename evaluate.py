@@ -78,6 +78,9 @@ def main(argv=None):
     np_rng = np.random.default_rng(cfg.seed + 42)
     from scrabblegan_tpu.data.loaders import sample_fake_labels
 
+    # EMA states need standing statistics (Trainer.standing_stats docstring);
+    # None for non-EMA states -> generate() serves the live stats
+    serve_stats = trainer.standing_stats(state)
     while sum(len(x) for x in real_imgs) < n:
         imgs, labels, _ = ds.sample_batch(bsz, bucket=bucket)
         real_imgs.append(imgs)
@@ -85,7 +88,8 @@ def main(argv=None):
         fake = sample_fake_labels(np_rng, trainer.random_words, bsz, bucket)
         style_idx = np_rng.integers(0, len(trainer.style_train), size=bsz)
         style = np.stack([trainer.style_train[i] for i in style_idx])[..., None]
-        out = trainer.generate(state, fake, style_imgs=style.astype(np.float32),
+        out = trainer.generate(state, fake, stats=serve_stats,
+                               style_imgs=style.astype(np.float32),
                                z=np.asarray(
                                    jax.random.normal(jax.random.PRNGKey(len(gen_imgs)),
                                                      (bsz, cfg.shared.latent_dim))))

@@ -73,6 +73,14 @@ class OptimizerConfig:
     # g_ema_decay>0 adds a `g_ema` tree to the state (restore with the same
     # setting).
     g_ema_decay: float = 0.0
+    # BigGAN "standing statistics" for the EMA export: number of train-mode
+    # G forwards (batch_size each) run under the EMA weights to refresh the
+    # BN running stats before each export/grid. The live stats are collected
+    # under the LIVE weights; serving the EMA weights with them is measurably
+    # broken — rFID 1238 / CER 0.21 vs 73 / 0.002 with standing stats on the
+    # same checkpoint (scripts/ema_standing_stats_ab.py, docs/QUALITY.md).
+    # 0 disables (export reuses live stats). Ignored when g_ema_decay == 0.
+    ema_standing_stat_batches: int = 100
 
 
 @dataclass(frozen=True)

@@ -444,8 +444,11 @@ class Trainer:
     # ----------------------------------------------------------------- extras
     def save_epoch_artifacts(self, state: TrainState, epoch: int,
                              final: bool = True) -> None:
+        # EMA serving needs its own BN statistics (standing_stats docstring);
+        # grid and export share one refresh so they show the same generator
+        serve_stats = self.standing_stats(state)
         imgs = self.generate(state, self.seed_labels, self.seed_style,
-                             z=getattr(self, "seed_z", None))
+                             z=getattr(self, "seed_z", None), stats=serve_stats)
         save_epoch_grid(np.asarray(imgs), self.seed_labels, self.gen_path, epoch,
                         self.cfg.io.char_vec)
         # Full-state fetch is ~GBs over a remote-tunnel backend; honor
@@ -461,21 +464,77 @@ class Trainer:
         use_ema = state.g_ema is not None
         if host_state is not None:
             g_params = host_state.g_ema if use_ema else host_state.g_params
-            g_stats = host_state.g_stats
         else:
-            g_params, g_stats = jax.device_get(
-                (state.g_ema if use_ema else state.g_params, state.g_stats))
+            g_params = jax.device_get(
+                state.g_ema if use_ema else state.g_params)
+        g_stats = (jax.device_get(serve_stats) if serve_stats is not None
+                   else (host_state.g_stats if host_state is not None
+                         else jax.device_get(state.g_stats)))
         ckpt_lib.save_generator(self.model_path, g_params, g_stats, epoch)
+
+    def standing_stats(self, state: TrainState, n_batches: int | None = None):
+        """BigGAN standing statistics (arXiv:1809.11096 sec. 3): refresh G's BN
+        running stats with train-mode forwards under the EMA weights.
+
+        The live g_stats are collected under the LIVE weights; pairing them
+        with the EMA weights is measurably broken — on the same pmema
+        checkpoint: rFID 1238 / CER 0.21 served with live stats vs
+        **73 / 0.002** with standing stats, while the live generator scores
+        207 / 0.028 (scripts/ema_standing_stats_ab.py, docs/QUALITY.md).
+
+        Returns a refreshed batch_stats tree (device), or None when EMA is
+        off / optimizer.ema_standing_stat_batches == 0 (callers then serve
+        the live stats). Conditioning batches come from the training batch
+        maker, so the stats see the training input distribution."""
+        n = (self.cfg.optimizer.ema_standing_stat_batches
+             if n_batches is None else n_batches)
+        if state.g_ema is None or n <= 0 or getattr(self, "dataset", None) is None:
+            return None
+        cfg = self.cfg
+        if getattr(self, "_standing_fn", None) is None:
+            G = self.models.generator
+            z_source = cfg.shared.z_source
+
+            def one(params, stats, labels, cond, lengths):
+                kw = {"style_imgs": cond} if z_source == "style" else {"z": cond}
+                if lengths is not None:
+                    kw["lengths"] = lengths
+                _, muts = G.apply({"params": params, "batch_stats": stats},
+                                  labels, train=True,
+                                  mutable=["batch_stats"], **kw)
+                return muts["batch_stats"]
+
+            self._standing_fn = jax.jit(one)
+        padded = cfg.parallel.shape_mode == "padded"
+        # one static shape: pin the fake bucket (bucketed mode recompiles per
+        # length otherwise; channel-wise BN stats don't care which length)
+        pin = int(self.seed_labels.shape[1]) if not padded else None
+        stats = state.g_stats
+        for _ in range(n):
+            batch = self._assemble(bucket=pin, fake_bucket=pin)
+            labels = batch["fake_labels"]
+            if cfg.shared.z_source == "style":
+                cond = batch["style_imgs"]
+                if cond.dtype == np.uint8:  # uint8 wire format
+                    cond = (cond.astype(np.float32) - 127.5) / 127.5
+            else:
+                cond = self.np_rng.standard_normal(
+                    (labels.shape[0], cfg.shared.latent_dim)).astype(np.float32)
+            lengths = batch.get("fake_lengths") if padded else None
+            stats = self._standing_fn(state.g_ema, stats, labels, cond, lengths)
+        return stats
 
     def generate(self, state: TrainState, labels: np.ndarray,
                  style_imgs: Optional[np.ndarray] = None,
-                 z: Optional[np.ndarray] = None):
+                 z: Optional[np.ndarray] = None, stats=None):
         """Inference-mode generation on the current params (BN uses running stats,
         matching generate_and_save_images' training=False, data_utils.py:507).
         Uses the EMA weights when enabled — the grids then show exactly what
-        the per-epoch export serves."""
+        the per-epoch export serves. `stats` overrides the BN statistics
+        (standing_stats); default = the live running stats."""
         params = state.g_ema if state.g_ema is not None else state.g_params
-        variables = {"params": params, "batch_stats": state.g_stats}
+        variables = {"params": params,
+                     "batch_stats": stats if stats is not None else state.g_stats}
         kwargs = {}
         if self.cfg.shared.z_source == "style":
             kwargs["style_imgs"] = style_imgs

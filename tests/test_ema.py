@@ -128,3 +128,52 @@ def test_export_and_grid_serve_ema(tmp_path, ema_setup):
     want = jax.tree_util.tree_leaves(jax.device_get(s1.g_ema))
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=0, atol=0)
+
+
+class TestStandingStats:
+    @pytest.fixture(scope="class")
+    def trained_ema(self, tmp_path_factory):
+        """A real (tiny) EMA run on the synthetic fixture — standing stats
+        need the Trainer's data-driven batch maker."""
+        from scrabblegan_tpu.config import IOConfig
+        from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
+        from scrabblegan_tpu.train.loop import Trainer
+
+        cfg = Config(
+            optimizer=OptimizerConfig(g_ema_decay=DECAY,
+                                      ema_standing_stat_batches=2),
+            shared=dataclasses.replace(SharedSpecs(), batch_size=4, num_gen=4),
+            io=dataclasses.replace(IOConfig(), bucket_size=3),
+            parallel=ParallelConfig(num_devices=1),
+        )
+        data_root = str(tmp_path_factory.mktemp("data"))
+        read_dir, words_file, style_dir = make_synthetic_dataset(
+            data_root, samples_per_bucket=4, bucket_size=3)
+        trainer = Trainer(cfg, workdir=str(tmp_path_factory.mktemp("run")),
+                          verbose=False)
+        trainer.load_data(read_dir=read_dir, style_dir=style_dir,
+                          words_file=words_file)
+        state = trainer.train(epochs=1, batches_per_epoch=2, resume=False)
+        return trainer, state
+
+    def test_standing_stats_differ_from_live(self, trained_ema):
+        trainer, state = trained_ema
+        stand = trainer.standing_stats(state, n_batches=2)
+        assert stand is not None
+        assert _max_abs_diff(jax.device_get(stand),
+                             jax.device_get(state.g_stats)) > 0
+
+    def test_export_carries_standing_stats(self, trained_ema):
+        """The per-epoch export's batch_stats must be the standing-stats
+        refresh, not the live running stats."""
+        from scrabblegan_tpu.train import checkpoint as ckpt_lib
+
+        trainer, state = trained_ema
+        export = ckpt_lib.load_generator(
+            ckpt_lib.latest_generator_export(trainer.model_path))
+        live = jax.device_get(state.g_stats)
+        assert _max_abs_diff(export["batch_stats"], live) > 0
+
+    def test_zero_batches_disables(self, trained_ema):
+        trainer, state = trained_ema
+        assert trainer.standing_stats(state, n_batches=0) is None
