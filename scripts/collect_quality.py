@@ -57,6 +57,20 @@ def main(argv=None):
         if rows:
             summary[name] = rows
 
+    # Runs collected by EARLIER sessions survive as <name>.jsonl in --out even
+    # when their runs/ workdir is gone (fresh container): merge them in so a
+    # partial re-collect can never clobber committed evidence.
+    for fn in sorted(os.listdir(args.out)) if os.path.isdir(args.out) else []:
+        if fn.endswith(".jsonl"):
+            name = fn[:-6]
+            if name in summary:
+                continue
+            with open(os.path.join(args.out, fn)) as f:
+                rows = [json.loads(l) for l in f if l.strip()]
+            if rows:
+                summary[name] = rows
+    summary = dict(sorted(summary.items()))
+
     lines = ["# Quality campaign results (auto-collected)", "",
              "Per-run epoch curves; rFID = Fréchet distance over the final",
              "recognizer's pooled conv features (frozen across epochs),",
