@@ -181,6 +181,16 @@ class ParallelConfig:
     # (10 compiled steps); 'independent' = reference semantics, fake bucket
     # drawn uniformly (lazy per-(real,fake) compilation).
     bucket_pairing: str = "matched"
+    # Batch composition ('padded' shape mode only):
+    #   'bucket' (default): every sample in a batch shares one word length —
+    #       the reference's regime (its shapes force it, data_utils.py:70-74).
+    #   'sample': each sample's length bucket is drawn INDEPENDENTLY by
+    #       population weight, so every batch mixes word widths — possible
+    #       only because padded mode's masks are per-sample. This is the
+    #       mixed-width-batch cell of the bucketed-instability study
+    #       (docs/QUALITY.md): D never gets a single-width batch to
+    #       specialize against. bucket_pairing still applies per-sample.
+    batch_mix: str = "bucket"
     # Train steps fused into one device dispatch (lax.scan). >1 amortizes
     # per-call dispatch/fetch overhead; batches within a chunk share a bucket.
     steps_per_call: int = 1

@@ -9,12 +9,20 @@ recognizer has learnable (if trivial) structure.
 from __future__ import annotations
 
 import os
-from typing import Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 from scrabblegan_tpu.config import CHAR_VECTOR
 from scrabblegan_tpu.data.images import write_grayscale
+
+# Approximate word-length distribution of running English text (lengths 1..10),
+# used as the stand-in for IAM's natural length skew (IAM is running text; the
+# reference's converter prints the real histogram, iam_handwriting_db.py:93 —
+# not reproducible here with no dataset on disk, so this is an explicit
+# approximation: short words dominate, len-3 peaks, a long tail).
+IAM_LENGTH_WEIGHTS = (0.03, 0.17, 0.23, 0.15, 0.11, 0.08, 0.07, 0.06,
+                      0.055, 0.045)
 
 _WORDS = (
     "a an the and of to in is it he she we they word hand write pen ink page "
@@ -85,15 +93,42 @@ def _draw_word_script(word: str, rng: np.random.Generator,
     return img
 
 
+def bucket_populations(samples_per_bucket: int, bucket_size: int,
+                       length_weights: Union[None, str, Sequence[float]],
+                       min_per_bucket: int = 8) -> Tuple[int, ...]:
+    """Per-bucket sample counts. None = uniform (samples_per_bucket each);
+    'iam' = IAM_LENGTH_WEIGHTS; a sequence = explicit weights. Weighted modes
+    keep the TOTAL at samples_per_bucket * bucket_size and floor each bucket
+    at min_per_bucket so no length disappears from the sampling pool."""
+    if length_weights is None:
+        return (samples_per_bucket,) * bucket_size
+    if isinstance(length_weights, str):
+        if length_weights != "iam":
+            raise ValueError(f"unknown length_weights {length_weights!r}")
+        length_weights = IAM_LENGTH_WEIGHTS
+    w = np.asarray(length_weights, np.float64)[:bucket_size]
+    if len(w) < bucket_size or (w < 0).any() or w.sum() <= 0:
+        raise ValueError("length_weights needs a nonnegative weight per bucket")
+    total = samples_per_bucket * bucket_size
+    counts = np.maximum(np.round(total * w / w.sum()).astype(int),
+                        min(min_per_bucket, samples_per_bucket))
+    return tuple(int(c) for c in counts)
+
+
 def make_synthetic_dataset(root: str, samples_per_bucket: int = 8,
                            bucket_size: int = 10, h: int = 32,
                            seed: int = 0,
-                           style: str = "stripes") -> Tuple[str, str, str]:
+                           style: str = "stripes",
+                           length_weights: Union[None, str, Sequence[float]]
+                           = None) -> Tuple[str, str, str]:
     """Create <root>/words-Reading/{1..bucket_size}/ + a lexicon + style images.
 
     style: "stripes" (deterministic textures; fast, used by tests/bench) or
     "script" (Bezier pseudo-handwriting with per-sample slant/thickness/jitter;
     used by the quality campaign — gives the GAN a real distribution to model).
+    length_weights: None = uniform bucket populations; 'iam' or a weight
+    sequence skews them (bucket_populations) — BucketedDataset's
+    population-weighted bucket sampling then reproduces the skew at train time.
     Returns (read_dir, words_file, style_dir)."""
     rng = np.random.default_rng(seed)
     if style not in ("stripes", "script"):
@@ -104,12 +139,14 @@ def make_synthetic_dataset(root: str, samples_per_bucket: int = 8,
     words_file = os.path.join(root, "random_words.txt")
     os.makedirs(style_dir, exist_ok=True)
 
+    populations = bucket_populations(samples_per_bucket, bucket_size,
+                                     length_weights)
     chars = list(CHAR_VECTOR)
     lexicon = set(_WORDS)
     for b in range(1, bucket_size + 1):
         bucket_dir = os.path.join(read_dir, str(b))
         os.makedirs(bucket_dir, exist_ok=True)
-        for s in range(samples_per_bucket):
+        for s in range(populations[b - 1]):
             word = "".join(rng.choice(chars, size=b))
             lexicon.add(word)
             img = (_draw_word_script(word, rng, h) if script

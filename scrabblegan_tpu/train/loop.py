@@ -133,6 +133,13 @@ class Trainer:
         # 'uint8' wire format: batches ship raw bytes; the jitted step
         # normalizes on-device (step.normalize_batch_images)
         self._u8 = cfg.parallel.transfer_dtype == "uint8"
+        if cfg.parallel.batch_mix not in ("bucket", "sample"):
+            raise ValueError(f"unknown batch_mix {cfg.parallel.batch_mix!r}")
+        if (cfg.parallel.batch_mix == "sample"
+                and cfg.parallel.shape_mode != "padded"):
+            raise ValueError("batch_mix='sample' requires shape_mode='padded' "
+                             "(bucketed batches are single-width by construction)")
+        self._mixed = cfg.parallel.batch_mix == "sample"
         # (epoch_idx, batch_idx) of the first non-finite metric, if training
         # diverged (the loop stops instead of training on NaN)
         self.diverged_at = None
@@ -196,6 +203,8 @@ class Trainer:
     def _assemble(self, bucket=None, fake_bucket=None) -> dict:
         """One host-side batch (numpy). Bucket choices may be pinned so chunked
         dispatches share a static shape."""
+        if self._mixed:
+            return self._assemble_mixed()
         cfg = self.cfg
         bsz = cfg.shared.batch_size
         if bucket is None and cfg.io.seq_len:
@@ -227,12 +236,71 @@ class Trainer:
             batch = self._pad_batch(batch, bucket, fake_bucket)
         return batch
 
+    def _assemble_mixed(self) -> dict:
+        """batch_mix='sample' (padded mode): every sample's real length bucket
+        is drawn independently by population weight, so one batch mixes word
+        widths — the step's per-sample masks/CTC lengths handle the rest.
+        bucket_pairing applies per-sample ('matched': fake length = that
+        sample's real length; 'independent': uniform draw per sample)."""
+        cfg = self.cfg
+        bsz = cfg.shared.batch_size
+        h, _, c = cfg.io.input_dim
+        l_max = cfg.io.bucket_size
+        w_max = (h // 2) * l_max
+        pad_id = cfg.io.n_classes
+        ds = self.dataset
+        if cfg.io.seq_len:
+            real_buckets = np.full((bsz,), int(cfg.io.seq_len))
+        else:
+            real_buckets = np.array([ds.sample_bucket() for _ in range(bsz)])
+        if self._u8:
+            real_imgs = np.full((bsz, h, w_max, c), 255, np.uint8)
+        else:
+            real_imgs = np.full((bsz, h, w_max, c), 1.0, np.float32)
+        real_labels = np.full((bsz, l_max), pad_id, np.int32)
+        for b in np.unique(real_buckets):
+            rows = np.flatnonzero(real_buckets == b)
+            imgs, labs, _ = ds.sample_batch(len(rows), bucket=int(b),
+                                            raw=self._u8)
+            real_imgs[rows, :, :imgs.shape[2]] = imgs
+            real_labels[rows, :b] = labs
+        if cfg.io.seq_len or cfg.parallel.bucket_pairing == "matched":
+            fake_buckets = real_buckets.copy()
+        else:  # 'independent', per-sample (data_utils.py:386 semantics)
+            fake_buckets = self.np_rng.integers(1, l_max + 1, size=bsz)
+        fake_labels = np.full((bsz, l_max), pad_id, np.int32)
+        for b in np.unique(fake_buckets):
+            rows = np.flatnonzero(fake_buckets == b)
+            labs = sample_fake_labels(self.np_rng, self.random_words,
+                                      len(rows), int(b))
+            fake_labels[rows, :b] = labs
+        style_idx = self.np_rng.integers(0, len(self.style_train), size=bsz)
+        if self._u8:
+            style_imgs = self._style_u8[style_idx][..., None]
+        else:
+            style_imgs = np.stack(
+                [self.style_train[i] for i in style_idx])[..., None].astype(np.float32)
+        return {
+            "real_imgs": real_imgs,
+            "real_labels": real_labels,
+            "style_imgs": style_imgs,
+            "fake_labels": fake_labels,
+            "real_lengths": real_buckets.astype(np.int32),
+            "fake_lengths": fake_buckets.astype(np.int32),
+        }
+
     def next_batch(self):
         """steps_per_call==1: one device batch; >1: a stacked chunk of K batches
         sharing one bucket (leading axis K)."""
         k = self.steps_per_call
         if k == 1:
             return jax.device_put(self._assemble(), self._bsh)
+        if self._mixed:
+            # mixed batches all share the padded static shape — no pinning
+            batches = [self._assemble() for _ in range(k)]
+            stacked = {key: np.stack([b[key] for b in batches])
+                       for key in batches[0]}
+            return jax.device_put(stacked, self._bsh)
         if self.cfg.io.seq_len:
             bucket = fake_bucket = int(self.cfg.io.seq_len)
         else:

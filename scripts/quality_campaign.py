@@ -93,29 +93,54 @@ RUNS = {
     "bugstyle": {"parallel.shape_mode": "padded",
                  "parallel.bucket_pairing": "matched",
                  "optimizer.bug_compatible_style_loss": True},
+    # ---- bucketed-instability study, remaining cells (docs/QUALITY.md) ----
+    # c4m on IAM-like length-skewed data: does the natural population skew
+    # (short words dominate -> D sees a few widths most of the time) change
+    # the bucketed-regime collapse?
+    "c4sk": {},
+    # padded control on the same skewed data (isolates data-vs-regime)
+    "pmsk": {"parallel.shape_mode": "padded",
+             "parallel.bucket_pairing": "matched"},
+    # mixed-width batches: per-SAMPLE independent length draws inside each
+    # padded batch (parallel.batch_mix='sample') — D never gets a
+    # single-width batch to specialize against; A/B vs pm
+    "pmmix": {"parallel.shape_mode": "padded",
+              "parallel.bucket_pairing": "matched",
+              "parallel.batch_mix": "sample"},
 }
+
+# Arms that train on the length-skewed variant of the synthetic dataset
+# (data.synthetic.IAM_LENGTH_WEIGHTS); everyone else shares the uniform one.
+DATA_SKEW = {"c4sk": "iam", "pmsk": "iam"}
 
 EVAL_BUCKET = 5  # fixed word length for rFID/CER batches
 
 
 def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7,
-                   style: str = "script"):
-    """Scaled synthetic dataset shared by all runs (10 buckets)."""
+                   style: str = "script", skew: str | None = None):
+    """Scaled synthetic dataset shared by all runs (10 buckets). skew='iam'
+    builds/uses the length-skewed variant in its own directory."""
     from scrabblegan_tpu.data.synthetic import make_synthetic_dataset
 
-    data_root = os.path.join(root, "data")
+    data_root = os.path.join(root, "data" if skew is None else f"data-skew-{skew}")
     read_dir = os.path.join(data_root, "words-Reading")
+    # uniform data: bucket 5 holds samples_per_bucket; skewed: totals differ,
+    # so compare against the computed population for bucket 5
+    from scrabblegan_tpu.data.synthetic import bucket_populations
+
+    want5 = bucket_populations(samples_per_bucket, 10, skew)[4]
     if os.path.isdir(read_dir) and os.path.isdir(os.path.join(read_dir, "10")):
         n = len([f for f in os.listdir(os.path.join(read_dir, "5"))
                  if f.endswith(".png")])
-        if n >= samples_per_bucket:
+        if n >= want5:
             return (read_dir, os.path.join(data_root, "random_words.txt"),
                     os.path.join(data_root, "style_imgs"))
     print(f"building synthetic dataset ({samples_per_bucket}/bucket, "
-          f"style={style})...", flush=True)
+          f"style={style}, skew={skew})...", flush=True)
     return make_synthetic_dataset(data_root,
                                   samples_per_bucket=samples_per_bucket,
-                                  bucket_size=10, seed=seed, style=style)
+                                  bucket_size=10, seed=seed, style=style,
+                                  length_weights=skew)
 
 
 def make_jit_generate(trainer):
@@ -200,7 +225,8 @@ def main(argv=None):
     cfg = load_config(None, overrides)
     workdir = os.path.join(args.root, args.run)
     read_dir, words_file, style_dir = ensure_dataset(
-        args.root, args.samples_per_bucket, style=args.data_style)
+        args.root, args.samples_per_bucket, style=args.data_style,
+        skew=DATA_SKEW.get(args.run))
 
     trainer = Trainer(cfg, workdir=workdir)
     trainer.load_data(read_dir=read_dir, style_dir=style_dir,

@@ -83,6 +83,38 @@ class TestScriptStyle:
             make_synthetic_dataset(str(tmp_path), style="cursive")
 
 
+class TestLengthSkew:
+    """Population-weighted synthetic data (the bucketed-instability skew cell)."""
+
+    def test_bucket_populations(self):
+        from scrabblegan_tpu.data.synthetic import bucket_populations
+
+        assert bucket_populations(100, 10, None) == (100,) * 10
+        pops = bucket_populations(100, 10, "iam")
+        # total preserved up to rounding + min-floor adjustments
+        assert abs(sum(pops) - 1000) <= 20
+        assert pops[2] == max(pops)  # len-3 peaks (running-English skew)
+        assert min(pops) >= 8  # no length disappears from the pool
+        with pytest.raises(ValueError):
+            bucket_populations(100, 10, "zipf")
+        with pytest.raises(ValueError):
+            bucket_populations(100, 10, [0.5])  # too few weights
+
+    def test_skewed_dataset_drives_loader_weights(self, tmp_path):
+        from scrabblegan_tpu.data.synthetic import bucket_populations
+
+        read_dir, _, _ = make_synthetic_dataset(
+            str(tmp_path), samples_per_bucket=20, bucket_size=10,
+            length_weights="iam")
+        pops = bucket_populations(20, 10, "iam")
+        ds = BucketedDataset(read_dir, (32, 160, 1), 10)
+        for b in range(1, 11):
+            assert len(ds.labels[b]) == pops[b - 1]
+        # loader's population-weighted bucket sampling reproduces the skew
+        np.testing.assert_allclose(
+            ds.bucket_weights, np.asarray(pops) / sum(pops), atol=1e-9)
+
+
 class TestBucketedDataset:
     def test_shapes_and_range(self, synth):
         read_dir, _, _ = synth

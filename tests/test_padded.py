@@ -90,3 +90,35 @@ class TestPaddedStep:
         compiled_before = step._cache_size()
         step(state, self.make_batch(real_len=4, fake_len=1, seed=1), KEY)
         assert step._cache_size() == compiled_before == 1
+
+    def test_mixed_lengths_within_batch(self, setup):
+        """batch_mix='sample': per-SAMPLE length vectors (each row its own
+        word length) run through the same compiled step — the masks and CTC
+        lengths are per-sample, so a mixed-width batch is just data."""
+        _, _, state, step = setup
+        rng = np.random.default_rng(5)
+        real_lens = rng.integers(1, L_MAX + 1, size=B)
+        fake_lens = rng.integers(1, L_MAX + 1, size=B)
+        assert len(np.unique(real_lens)) > 1  # genuinely mixed
+        w_max = 16 * L_MAX
+        real = np.full((B, 32, w_max, 1), 1.0, np.float32)
+        real_labels = np.full((B, L_MAX), 52, np.int32)
+        fake_labels = np.full((B, L_MAX), 52, np.int32)
+        for i in range(B):
+            rl, fl = int(real_lens[i]), int(fake_lens[i])
+            real[i, :, :16 * rl] = rng.uniform(-1, 1, (32, 16 * rl, 1))
+            real_labels[i, :rl] = rng.integers(0, 52, rl)
+            fake_labels[i, :fl] = rng.integers(0, 52, fl)
+        batch = {
+            "real_imgs": real,
+            "real_labels": real_labels,
+            "style_imgs": rng.uniform(-1, 1, (B, 32, 160, 1)).astype(np.float32),
+            "fake_labels": fake_labels,
+            "real_lengths": real_lens.astype(np.int32),
+            "fake_lengths": fake_lens.astype(np.int32),
+        }
+        compiled_before = step._cache_size()
+        new_state, metrics = step(state, batch, KEY)
+        assert step._cache_size() == compiled_before  # no new specialization
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), k
