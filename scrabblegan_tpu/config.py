@@ -164,6 +164,13 @@ class IOConfig:
     # forever). Must exceed the slowest legitimate blocking op — a cold XLA
     # compile or the full-state checkpoint fetch. 0 disables (default).
     stall_timeout_s: float = 0.0
+    # One-shot watchdog grace window (seconds) consumed at the first dispatch
+    # of every NEW batch shape and at the first epoch-artifact save: a cold
+    # XLA compile legitimately blocks with zero observable progress (measured
+    # >15 min for the padded 4-network step on the remote compile service),
+    # which would otherwise trip stall_timeout_s. Only meaningful when
+    # stall_timeout_s > 0.
+    compile_grace_s: float = 2700.0
 
 
 @dataclass(frozen=True)

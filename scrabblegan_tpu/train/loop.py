@@ -100,6 +100,7 @@ class Trainer:
         self.cfg = cfg
         self.verbose = verbose
         base = workdir or cfg.io.base_path
+        self.workdir = base
         self.gen_path = os.path.join(base, cfg.io.gen_imgs_dir)
         self.ckpt_path = os.path.join(base, cfg.io.checkpoint_dir)
         self.model_path = os.path.join(base, cfg.io.model_dir)
@@ -396,7 +397,25 @@ class Trainer:
         if cfg.io.stall_timeout_s:
             from scrabblegan_tpu.utils.watchdog import StallWatchdog
 
-            watchdog = StallWatchdog(cfg.io.stall_timeout_s).start()
+            # the heartbeat file lets a file-activity supervisor
+            # (scripts/run_campaign.sh) see liveness during compile-bound
+            # phases that write nothing to the workdir
+            watchdog = StallWatchdog(
+                cfg.io.stall_timeout_s,
+                touch_file=os.path.join(self.workdir, ".heartbeat")).start()
+        # cold-compile grace: the first dispatch of each batch shape blocks in
+        # XLA compile for minutes with no beats — announce it so the watchdog
+        # (and its heartbeat file) don't read a healthy compile as a stall
+        seen_shapes: set = set()
+        first_artifacts = True
+
+        def grace_for_new_shape(batch):
+            sig = tuple((name, tuple(v.shape))
+                        for name, v in sorted(batch.items()))
+            if sig not in seen_shapes:
+                seen_shapes.add(sig)
+                if watchdog:
+                    watchdog.grace(cfg.io.compile_grace_s)
 
         def flush_pending(pending):
             """Fetch the stacked metrics of a block of completed dispatches and
@@ -464,6 +483,7 @@ class Trainer:
                     rng, step_rng = jax.random.split(rng)
                     if k > 1:
                         step_rng = jax.random.split(step_rng, k)
+                    grace_for_new_shape(batch)
                     state, metrics = self.step_fn(state, batch, step_rng)
                     # host-side work for the next dispatch overlaps the device
                     if call_idx + 1 < calls_per_epoch:
@@ -495,6 +515,12 @@ class Trainer:
                           f"stopping (state not saved — last good export: "
                           f"epoch {epoch_idx})")
                     break
+                if first_artifacts:
+                    # first save compiles the inference-mode G (and the
+                    # standing-stats refresh when EMA is on)
+                    first_artifacts = False
+                    if watchdog:
+                        watchdog.grace(cfg.io.compile_grace_s)
                 self.save_epoch_artifacts(state, epoch_idx + 1,
                                           final=epoch_idx + 1 == epochs)
                 if watchdog:

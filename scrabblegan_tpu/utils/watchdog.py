@@ -21,9 +21,17 @@ Usage:
     wd.stop()
 
 ``timeout_s`` must exceed the slowest LEGITIMATE blocking operation of the
-run — a cold XLA compile (minutes on the remote compile service) or a
-full-state checkpoint fetch (multi-GB D2H over the tunnel) — or the watchdog
-will shoot a healthy run.
+run — or the caller must announce known-long blocks with ``grace(s)`` (a
+one-shot window used before the first dispatch of every new batch shape,
+where a cold XLA compile can block for 15+ minutes on the remote compile
+service) — or the watchdog will shoot a healthy run (observed: a cold
+padded-step compile killed at 900s three times in a row).
+
+``touch_file`` (optional) is touched on every poll while the watchdog still
+considers the process healthy, so a FILE-ACTIVITY supervisor (the outer
+``run_campaign.sh`` loop) can keep a tight window without false-killing
+compile-bound phases: liveness = the heartbeat mtime, progress = this
+watchdog, hard interpreter death = process exit.
 """
 
 from __future__ import annotations
@@ -38,17 +46,38 @@ STALL_EXIT_CODE = 86
 
 
 class StallWatchdog:
-    def __init__(self, timeout_s: float, label: str = "train"):
+    def __init__(self, timeout_s: float, label: str = "train",
+                 touch_file: str | None = None):
         if timeout_s <= 0:
             raise ValueError("timeout_s must be positive")
         self.timeout_s = float(timeout_s)
         self.label = label
+        self.touch_file = touch_file
         self._last_beat = time.monotonic()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
     def beat(self) -> None:
         self._last_beat = time.monotonic()
+
+    def grace(self, seconds: float) -> None:
+        """Announce an expected progress-free block (cold compile, multi-GB
+        checkpoint fetch): firing is deferred as if a beat were going to
+        arrive ``seconds`` from now, i.e. the next possible fire time is
+        ``now + seconds + timeout_s``. A real beat afterwards returns to
+        normal cadence."""
+        self._last_beat = max(self._last_beat,
+                              time.monotonic() + float(seconds))
+
+    def _touch(self) -> None:
+        if not self.touch_file:
+            return
+        try:
+            with open(self.touch_file, "a"):
+                pass
+            os.utime(self.touch_file, None)
+        except OSError:
+            pass
 
     def start(self) -> "StallWatchdog":
         self.beat()
@@ -62,7 +91,9 @@ class StallWatchdog:
 
     def _run(self) -> None:
         poll = max(0.05, min(5.0, self.timeout_s / 4))
+        self._touch()
         while not self._stop.wait(poll):
+            self._touch()
             idle = time.monotonic() - self._last_beat
             if idle > self.timeout_s:
                 sys.stderr.write(

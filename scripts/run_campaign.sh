@@ -14,7 +14,11 @@ RUNS=("${@:-c3 pm pi bugstyle c4m}")
 if [ "${#RUNS[@]}" -eq 1 ]; then RUNS=(${RUNS[0]}); fi
 EPOCHS="${EPOCHS:-10}"
 BPE="${BPE:-2500}"
-STALL_S="${STALL_S:-900}"  # > warm-cache compile; cold first-runs can override
+# The trainer's in-process watchdog touches <workdir>/.heartbeat every few
+# seconds while it considers the run healthy (incl. compile-bound phases
+# that write nothing else — a cold padded-step compile blocks >15 min), so
+# this file-activity window only catches hard interpreter hangs.
+STALL_S="${STALL_S:-900}"
 TRIES="${TRIES:-3}"
 mkdir -p "$ROOT"
 LOG="$ROOT/campaign.log"

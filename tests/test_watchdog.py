@@ -31,6 +31,46 @@ class TestStallWatchdog:
         assert proc.returncode == STALL_EXIT_CODE
         assert "no progress" in proc.stderr
 
+    def test_grace_defers_then_restores_firing(self):
+        # in-process firing would os._exit pytest; observe it in a subprocess:
+        # timeout 0.3 + grace 1.5 => still alive at t=1.0, fired by t=3.5
+        code = (
+            "import time\n"
+            "from scrabblegan_tpu.utils.watchdog import StallWatchdog\n"
+            "wd = StallWatchdog(timeout_s=0.3).start()\n"
+            "wd.grace(1.5)\n"
+            "time.sleep(1.0)\n"
+            "print('alive-after-timeout', flush=True)\n"
+            "time.sleep(10)\n"
+        )
+        proc = subprocess.run([sys.executable, "-c", code], timeout=30,
+                              capture_output=True, text=True)
+        assert "alive-after-timeout" in proc.stdout  # grace held at t=1.0
+        assert proc.returncode == STALL_EXIT_CODE    # then fired normally
+
+    def test_beat_supersedes_grace(self):
+        wd = StallWatchdog(timeout_s=5.0)
+        wd.grace(1000.0)
+        wd.beat()
+        import time as _t
+
+        assert wd._last_beat <= _t.monotonic()  # tight cadence restored
+
+    def test_touch_file_heartbeat(self, tmp_path):
+        hb = tmp_path / ".heartbeat"
+        wd = StallWatchdog(timeout_s=1.0, touch_file=str(hb)).start()
+        try:
+            deadline = time.time() + 5
+            while not hb.exists() and time.time() < deadline:
+                time.sleep(0.05)
+            assert hb.exists()
+            m0 = hb.stat().st_mtime_ns
+            time.sleep(0.6)  # poll cadence = timeout/4 = 0.25s
+            wd.beat()
+            assert hb.stat().st_mtime_ns > m0
+        finally:
+            wd.stop()
+
     def test_rejects_nonpositive_timeout(self):
         import pytest
 
@@ -49,3 +89,8 @@ class TestStallWatchdog:
 
         src = inspect.getsource(loop.Trainer.train)
         assert "stall_timeout_s" in src and "watchdog.beat()" in src
+        # cold-compile grace: first dispatch of each new batch shape + first
+        # artifact save announce a compile-length progress-free block
+        assert "compile_grace_s" in src and "grace_for_new_shape(batch)" in src
+        assert ".heartbeat" in src  # outer-supervisor liveness file
+        assert IOConfig().compile_grace_s > 0
