@@ -161,15 +161,20 @@ class IOConfig:
     # Stall self-heal (utils/watchdog.py): if > 0, Trainer.train exits the
     # process with code 86 when no step/fetch completes for this many seconds
     # (the remote tunnel can lose a dispatched result, blocking device_get
-    # forever). Must exceed the slowest legitimate blocking op — a cold XLA
-    # compile or the full-state checkpoint fetch. 0 disables (default).
+    # forever). Cold XLA compiles are covered separately by compile_grace_s,
+    # so this only needs to exceed the normal step/fetch cadence and the
+    # full-state checkpoint fetch. 0 disables (default).
     stall_timeout_s: float = 0.0
     # One-shot watchdog grace window (seconds) consumed at the first dispatch
-    # of every NEW batch shape and at the first epoch-artifact save: a cold
-    # XLA compile legitimately blocks with zero observable progress (measured
-    # >15 min for the padded 4-network step on the remote compile service),
-    # which would otherwise trip stall_timeout_s. Only meaningful when
-    # stall_timeout_s > 0.
+    # of every NEW batch (shape, dtype) signature and at the first
+    # epoch-artifact save: a cold XLA compile legitimately blocks with zero
+    # observable progress (measured >15 min for the padded 4-network step on
+    # the remote compile service), which would otherwise trip stall_timeout_s.
+    # Only meaningful when stall_timeout_s > 0. Worst-case stall DETECTION
+    # latency: a real lost-dispatch stall that lands on a first-of-signature
+    # dispatch is only caught after compile_grace_s + stall_timeout_s
+    # (~45-60 min at the defaults) — bucketed runs with many signatures re-arm
+    # the grace once per new signature, padded runs exactly once.
     compile_grace_s: float = 2700.0
 
 

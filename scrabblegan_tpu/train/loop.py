@@ -410,7 +410,9 @@ class Trainer:
         first_artifacts = True
 
         def grace_for_new_shape(batch):
-            sig = tuple((name, tuple(v.shape))
+            # dtype is part of the jit specialization key too (e.g. a float32
+            # batch after uint8 wire batches recompiles just as cold)
+            sig = tuple((name, tuple(v.shape), str(v.dtype))
                         for name, v in sorted(batch.items()))
             if sig not in seen_shapes:
                 seen_shapes.add(sig)
@@ -461,6 +463,9 @@ class Trainer:
                     rng, step_rng = jax.random.split(rng)
                     if k > 1:
                         step_rng = jax.random.split(step_rng, k)
+                    # first-of-shape profile dispatches compile cold too —
+                    # same watchdog grace as the main loop
+                    grace_for_new_shape(batch)
                     with profiling.annotate("train_step"):
                         state, metrics = self.step_fn(state, batch, step_rng)
                     timer.tick(metrics)

@@ -93,9 +93,12 @@ class StallWatchdog:
         poll = max(0.05, min(5.0, self.timeout_s / 4))
         self._touch()
         while not self._stop.wait(poll):
-            self._touch()
             idle = time.monotonic() - self._last_beat
-            if idle > self.timeout_s:
+            if idle <= self.timeout_s:
+                # touch only on healthy polls, so the heartbeat mtime
+                # post-mortems as "last time the watchdog saw progress"
+                self._touch()
+            else:
                 sys.stderr.write(
                     f"\n[watchdog:{self.label}] no progress for {idle:.0f}s "
                     f"(> {self.timeout_s:.0f}s): assuming a lost tunnel "

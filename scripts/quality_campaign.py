@@ -240,6 +240,26 @@ def main(argv=None):
     train_secs = time.time() - t0
 
     # ------------------------------------------------------------- post-hoc eval
+    # The trainer's watchdog stops when train() returns, but the eval phase
+    # below still runs under run_campaign.sh's file-activity window and has
+    # its own cold compiles (jit_gen / jit_rec / rFID extractor) that write
+    # nothing to the workdir — keep a heartbeat alive and announce the
+    # compile-bound firsts, exactly like the training loop does.
+    from scrabblegan_tpu.utils.watchdog import StallWatchdog
+
+    wd = None
+    if cfg.io.stall_timeout_s:
+        wd = StallWatchdog(cfg.io.stall_timeout_s, label="eval",
+                           touch_file=os.path.join(workdir, ".heartbeat")).start()
+
+    def _grace():  # before each first-use jit compile in the eval phase
+        if wd:
+            wd.grace(cfg.io.compile_grace_s)
+
+    def _beat():
+        if wd:
+            wd.beat()
+
     state = trainer.init_state(resume=True)
     total_steps = int(jax.device_get(state.step))
     extractor = recognizer_features(trainer.models.recognizer,
@@ -272,11 +292,13 @@ def main(argv=None):
         real_lab.append(labs)
     real_b = np.concatenate(real_b)[:n]
     real_lab = np.concatenate(real_lab)[:n]
+    _grace()  # first jit_rec dispatch compiles cold
     logits = np.concatenate([
         np.asarray(jit_rec(rec_vars, real_b[i:i + 64]))
         for i in range(0, n, 64)])
     preds = greedy_ctc_decode(logits, np.full((n,), t_frames, np.int32))
     cer_real = character_error_rate(preds, [list(l) for l in real_lab])
+    _beat()
     print(f"cer_real (final R on real data): {cer_real:.4f}", flush=True)
 
     gen_root = os.path.join(trainer.model_path, "generator")
@@ -286,6 +308,8 @@ def main(argv=None):
     with open(out_jsonl, "w") as f:
         for ep in epochs_avail:
             variables = ckpt_lib.load_generator(os.path.join(gen_root, str(ep)))
+            if ep == epochs_avail[0]:
+                _grace()  # first jit_gen + rFID-extractor compiles
             gen = generate_batched(jit_gen, cfg, variables, eval_labels,
                                    eval_style, eval_z)
             rfid = compute_rfid(gen, real_imgs, extractor, batch_size=64)
@@ -306,7 +330,11 @@ def main(argv=None):
             rows.append(row)
             f.write(json.dumps(row) + "\n")
             f.flush()
+            _beat()
             print(json.dumps(row), flush=True)
+
+    if wd:
+        wd.stop()
 
     # ------------------------------------------------------------------ curve
     try:

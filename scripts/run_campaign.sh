@@ -14,10 +14,12 @@ RUNS=("${@:-c3 pm pi bugstyle c4m}")
 if [ "${#RUNS[@]}" -eq 1 ]; then RUNS=(${RUNS[0]}); fi
 EPOCHS="${EPOCHS:-10}"
 BPE="${BPE:-2500}"
-# The trainer's in-process watchdog touches <workdir>/.heartbeat every few
-# seconds while it considers the run healthy (incl. compile-bound phases
-# that write nothing else — a cold padded-step compile blocks >15 min), so
-# this file-activity window only catches hard interpreter hangs.
+# An in-process watchdog touches <workdir>/.heartbeat every few seconds
+# while it considers the run healthy (incl. compile-bound phases that write
+# nothing else — a cold padded-step compile blocks >15 min). It covers BOTH
+# the training loop and the post-hoc eval phase (quality_campaign.py keeps
+# one alive through eval), so this file-activity window only catches hard
+# interpreter hangs.
 STALL_S="${STALL_S:-900}"
 TRIES="${TRIES:-3}"
 mkdir -p "$ROOT"
