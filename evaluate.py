@@ -51,7 +51,14 @@ def main(argv=None):
 
     enable_compilation_cache()
     overrides = dict(kv.split("=", 1) for kv in args.set)
-    cfg = load_config(args.config, overrides)
+    # workdirs are self-describing (Trainer writes config.json at the root);
+    # an explicit --config wins, --set applies on top either way
+    from scrabblegan_tpu.config import discover_config
+
+    cfg_path = args.config or discover_config(args.workdir, max_up=0)
+    if cfg_path and not args.config:
+        print(f"using discovered config: {cfg_path}", file=sys.stderr)
+    cfg = load_config(cfg_path, overrides)
 
     trainer = Trainer(cfg, workdir=args.workdir, verbose=False)
     default_root = os.path.join(args.workdir, "synthetic_data")

@@ -30,13 +30,18 @@ def main(argv=None):
 
     apply_env_platform()
 
-    from scrabblegan_tpu.config import load_config
+    from scrabblegan_tpu.config import discover_config, load_config
     from scrabblegan_tpu.train.checkpoint import latest_generator_export, load_generator
     from scrabblegan_tpu.train.export import export_generator
     from scrabblegan_tpu.train.state import build_models
 
     overrides = dict(kv.split("=", 1) for kv in args.set)
-    cfg = load_config(args.config, overrides)
+    # model dirs are self-describing (Trainer writes config.json next to every
+    # export); an explicit --config wins, --set applies on top either way
+    cfg_path = args.config or discover_config(args.model_dir)
+    if cfg_path and not args.config:
+        print(f"using discovered config: {cfg_path}")
+    cfg = load_config(cfg_path, overrides)
     if args.z_source:
         from dataclasses import replace
 

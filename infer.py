@@ -11,8 +11,11 @@ Usage:
   python infer.py --model-dir runs/model --word machinelearning -n 10 \
       [--z-source noise|style] [--style-image path.png] [--out out.png]
 
-Note: a generator trained in 'padded' shape mode has an extra filter-bank PAD
-row — pass `--set parallel.shape_mode=padded` so the restored structure matches.
+The model dir is SELF-DESCRIBING: the Trainer writes config.json next to every
+export, and this script auto-loads it (then applies --set on top), so a
+generator trained in 'padded' shape mode (extra filter-bank PAD row) or with
+weight EMA restores with zero manual flags. An explicit --config wins over the
+discovered one.
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ def main(argv=None):
     apply_env_platform()
     import jax
 
-    from scrabblegan_tpu.config import load_config
+    from scrabblegan_tpu.config import discover_config, load_config
     from scrabblegan_tpu.data.loaders import encode_word
     from scrabblegan_tpu.data.images import read_grayscale, resize
     from scrabblegan_tpu.train.checkpoint import latest_generator_export, load_generator
@@ -55,7 +58,10 @@ def main(argv=None):
     from scrabblegan_tpu.utils.viz import save_image_grid
 
     overrides = dict(kv.split("=", 1) for kv in args.set)
-    cfg = load_config(args.config, overrides)
+    cfg_path = args.config or discover_config(args.model_dir)
+    if cfg_path and not args.config:
+        print(f"using discovered config: {cfg_path}")
+    cfg = load_config(cfg_path, overrides)
     if args.z_source:
         from dataclasses import replace
 

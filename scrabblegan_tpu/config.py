@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Tuple
 
@@ -313,3 +314,38 @@ def _replace_path(obj: Any, parts, value):
 
 def config_to_dict(cfg: Config) -> dict:
     return dataclasses.asdict(cfg)
+
+
+def save_config(cfg: Config, path: str) -> str:
+    """Persist the full config as JSON (the format load_config reads).
+
+    Written by the Trainer into the workdir, the checkpoint dir, and the
+    model-export dir so checkpoints are SELF-DESCRIBING: a checkpoint's leaf
+    set depends on `parallel.shape_mode` ('padded' adds a filter-bank PAD
+    row) and `optimizer.g_ema_decay` (>0 adds a g_ema tree) — without the
+    config, restoring a padded/EMA run requires the user to re-specify those
+    flags or Orbax fails with a tree mismatch."""
+    with open(path, "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2)
+        f.write("\n")
+    return path
+
+
+def discover_config(start: str, max_up: int = 4) -> Optional[str]:
+    """Find the config.json describing a checkpoint/export/workdir path.
+
+    Walks from `start` (a file or directory) upward at most `max_up` levels —
+    enough to reach the workdir root from any artifact inside it (e.g.
+    <workdir>/model/generator/<epoch>). Returns the path or None."""
+    d = os.path.abspath(start)
+    if os.path.isfile(d):
+        d = os.path.dirname(d)
+    for _ in range(max_up + 1):
+        candidate = os.path.join(d, "config.json")
+        if os.path.isfile(candidate):
+            return candidate
+        parent = os.path.dirname(d)
+        if parent == d:
+            break
+        d = parent
+    return None

@@ -53,9 +53,21 @@ def restore_state(ckpt_dir: str, template: TrainState) -> Tuple[Optional[TrainSt
 def save_generator(model_dir: str, g_params: Any, g_stats: Any, epoch: int) -> str:
     """Generator-only export for inference (parity with data_utils.py:346 +
     run_inference.py's saved-model consumption)."""
-    path = os.path.abspath(os.path.join(model_dir, "generator", str(epoch)))
+    return _save_net(model_dir, "generator", g_params, g_stats, epoch)
+
+
+def save_recognizer(model_dir: str, r_params: Any, r_stats: Any, epoch: int) -> str:
+    """Recognizer-only per-epoch export (parity with data_utils.py:347-348 —
+    the reference saves R weights alongside G every epoch). Lets the rFID/CER
+    feature extractor be rebuilt from ANY epoch without the full-state
+    checkpoint (which only lands every io.ckpt_every epochs)."""
+    return _save_net(model_dir, "recognizer", r_params, r_stats, epoch)
+
+
+def _save_net(model_dir: str, name: str, params: Any, stats: Any, epoch: int) -> str:
+    path = os.path.abspath(os.path.join(model_dir, name, str(epoch)))
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, {"params": g_params, "batch_stats": g_stats}, force=True)
+    ckptr.save(path, {"params": params, "batch_stats": stats}, force=True)
     ckptr.wait_until_finished()
     ckptr.close()
     return path
@@ -68,8 +80,20 @@ def load_generator(path: str) -> dict:
     return variables
 
 
+# R exports share the {params, batch_stats} layout of G exports
+load_recognizer = load_generator
+
+
 def latest_generator_export(model_dir: str) -> Optional[str]:
-    root = os.path.join(model_dir, "generator")
+    return _latest_export(model_dir, "generator")
+
+
+def latest_recognizer_export(model_dir: str) -> Optional[str]:
+    return _latest_export(model_dir, "recognizer")
+
+
+def _latest_export(model_dir: str, name: str) -> Optional[str]:
+    root = os.path.join(model_dir, name)
     if not os.path.isdir(root):
         return None
     epochs = [int(d) for d in os.listdir(root) if d.isdigit()]

@@ -106,6 +106,15 @@ class Trainer:
         self.model_path = os.path.join(base, cfg.io.model_dir)
         for p in (self.gen_path, self.ckpt_path, self.model_path):
             os.makedirs(p, exist_ok=True)
+        # self-describing artifacts: the exact config lands next to the
+        # workdir, the full-state checkpoints, and the G-only exports, so
+        # infer/evaluate/export auto-restore padded/EMA runs with no manual
+        # --set (config.save_config docstring; reference main.py:93-102 never
+        # persisted its gin bindings either — component 22 upgraded)
+        from scrabblegan_tpu.config import save_config
+
+        for p in (base, self.ckpt_path, self.model_path):
+            save_config(cfg, os.path.join(p, "config.json"))
 
         self.models = build_models(cfg)
         self.mesh = make_mesh(cfg.parallel.num_devices,
@@ -570,6 +579,16 @@ class Trainer:
                    else (host_state.g_stats if host_state is not None
                          else jax.device_get(state.g_stats)))
         ckpt_lib.save_generator(self.model_path, g_params, g_stats, epoch)
+        # reference parity: R weights save alongside G every epoch
+        # (data_utils.py:346-348) — the rFID/CER extractor can then be rebuilt
+        # from any epoch without the full-state checkpoint
+        if self.cfg.shared.use_recognizer:
+            if host_state is not None:
+                r_params, r_stats = host_state.r_params, host_state.r_stats
+            else:
+                r_params, r_stats = jax.device_get(
+                    (state.r_params, state.r_stats))
+            ckpt_lib.save_recognizer(self.model_path, r_params, r_stats, epoch)
 
     def standing_stats(self, state: TrainState, n_batches: int | None = None):
         """BigGAN standing statistics (arXiv:1809.11096 sec. 3): refresh G's BN

@@ -1,0 +1,75 @@
+"""Self-describing checkpoints: config persistence + discovery (VERDICT r2
+item 2). A checkpoint's leaf set depends on parallel.shape_mode and
+optimizer.g_ema_decay; the Trainer writes config.json next to every artifact
+and the entry points auto-load it, so padded/EMA runs restore with no manual
+--set. Fast tests — no jit, no model builds."""
+
+import json
+import os
+
+from scrabblegan_tpu.config import (
+    Config,
+    apply_overrides,
+    config_to_dict,
+    discover_config,
+    load_config,
+    save_config,
+)
+
+
+class TestSaveLoadRoundtrip:
+    def test_padded_ema_fields_survive(self, tmp_path):
+        cfg = apply_overrides(Config(), {
+            "parallel.shape_mode": "padded",
+            "optimizer.g_ema_decay": 0.999,
+            "shared.batch_size": 4,
+            "io.bucket_size": 3,
+        })
+        path = save_config(cfg, str(tmp_path / "config.json"))
+        loaded = load_config(path)
+        # dataclass equality covers every leaf (tuples restored from lists)
+        assert loaded == cfg
+
+    def test_dict_matches_json(self, tmp_path):
+        cfg = Config()
+        path = save_config(cfg, str(tmp_path / "config.json"))
+        with open(path) as f:
+            on_disk = json.load(f)
+        # JSON has no tuples; compare via a JSON round-trip of the live dict
+        assert on_disk == json.loads(json.dumps(config_to_dict(cfg)))
+
+
+class TestDiscovery:
+    def test_walks_up_from_export_depth(self, tmp_path):
+        """<workdir>/model/generator/<epoch> must find <workdir>/config.json."""
+        workdir = tmp_path / "run"
+        export = workdir / "model" / "generator" / "7"
+        export.mkdir(parents=True)
+        save_config(Config(), str(workdir / "config.json"))
+        found = discover_config(str(export))
+        assert found == str(workdir / "config.json")
+
+    def test_nearest_wins(self, tmp_path):
+        """model/config.json shadows the workdir one (both are written; the
+        nearest describes the artifact being loaded)."""
+        workdir = tmp_path / "run"
+        model = workdir / "model"
+        model.mkdir(parents=True)
+        save_config(Config(), str(workdir / "config.json"))
+        padded = apply_overrides(Config(), {"parallel.shape_mode": "padded"})
+        save_config(padded, str(model / "config.json"))
+        found = discover_config(str(model))
+        assert found == str(model / "config.json")
+        assert load_config(found).parallel.shape_mode == "padded"
+
+    def test_none_when_absent(self, tmp_path):
+        d = tmp_path / "empty" / "deep"
+        d.mkdir(parents=True)
+        assert discover_config(str(d), max_up=1) is None
+
+    def test_max_up_zero_is_exact_dir(self, tmp_path):
+        save_config(Config(), str(tmp_path / "config.json"))
+        sub = tmp_path / "sub"
+        sub.mkdir()
+        assert discover_config(str(sub), max_up=0) is None
+        assert discover_config(str(tmp_path), max_up=0) is not None

@@ -72,6 +72,68 @@ class TestTrainRun:
         _, state = trained
         assert int(state.step) == 2
 
+    def test_recognizer_export(self, trained):
+        """Reference parity (data_utils.py:346-348): R weights save alongside
+        G every epoch, so the rFID/CER extractor can be rebuilt from any epoch
+        without the full-state checkpoint."""
+        trainer, state = trained
+        from scrabblegan_tpu.train.checkpoint import (
+            latest_recognizer_export,
+            load_recognizer,
+        )
+
+        export = latest_recognizer_export(trainer.model_path)
+        assert export is not None
+        variables = load_recognizer(export)
+        assert "params" in variables and "batch_stats" in variables
+        # the exported R must actually run: logits (B, 4*len-1, n_classes+1)
+        imgs = np.zeros((2, 32, 16 * 3, 1), np.float32)
+        logits = trainer.models.recognizer.apply(variables, imgs, train=False)
+        assert logits.shape == (2, 4 * 3 - 1, 53)
+
+    def test_workdir_is_self_describing(self, trained, cfg, workdir):
+        """config.json lands in the workdir, checkpoint dir, and model dir and
+        round-trips to the exact training config (VERDICT r2 item 2)."""
+        trainer, _ = trained
+        from scrabblegan_tpu.config import load_config
+
+        for d in (workdir, trainer.ckpt_path, trainer.model_path):
+            path = os.path.join(d, "config.json")
+            assert os.path.exists(path), path
+            assert load_config(path) == cfg
+
+    def test_infer_bare_on_padded_ema_export(self, cfg, tmp_path_factory):
+        """THE self-describing-checkpoint case (VERDICT r2 item 2): a padded
+        shape-mode + EMA run's export has a different param tree (filter-bank
+        PAD row), which used to require a manual
+        `--set parallel.shape_mode=padded` or Orbax failed with a tree
+        mismatch. With config.json discovery, bare infer must work."""
+        import jax
+
+        import infer
+        from scrabblegan_tpu.train import checkpoint as ckpt_lib
+        from scrabblegan_tpu.train.loop import Trainer
+        from scrabblegan_tpu.train.state import create_train_state
+        from scrabblegan_tpu.utils.fakeparams import fake_variables
+
+        padded_cfg = dataclasses.replace(
+            cfg,
+            parallel=dataclasses.replace(cfg.parallel, shape_mode="padded"),
+            optimizer=dataclasses.replace(cfg.optimizer, g_ema_decay=0.999))
+        workdir = str(tmp_path_factory.mktemp("padded_run"))
+        trainer = Trainer(padded_cfg, workdir=workdir, verbose=False)
+        # fabricate an export without training: the structure is what matters
+        shapes = jax.eval_shape(lambda: create_train_state(
+            padded_cfg, jax.random.PRNGKey(0), trainer.models))
+        state = fake_variables(shapes)
+        assert state.g_ema is not None  # EMA tree present in this config
+        ckpt_lib.save_generator(trainer.model_path, state.g_ema,
+                                state.g_stats, 1)
+        out = str(tmp_path_factory.mktemp("infer") / "bare.png")
+        rc = infer.main(["--model-dir", trainer.model_path, "--word", "ab",
+                         "-n", "1", "--out", out])
+        assert rc == 0 and os.path.exists(out)
+
     def test_resume_from_checkpoint(self, trained, cfg, workdir):
         """Restart must pick up the saved step (fixes SURVEY.md defect #6)."""
         trainer, state = trained
