@@ -191,8 +191,16 @@ class ParallelConfig:
     # 'padded': single compilation at max width with width masks.
     shape_mode: str = "bucketed"
     # Fake-label bucket sampling: 'matched' = same bucket as the real batch
-    # (10 compiled steps); 'independent' = reference semantics, fake bucket
-    # drawn uniformly (lazy per-(real,fake) compilation).
+    # (10 compiled steps); 'independent' = the REFERENCE's semantics — fake
+    # bucket drawn uniformly per step, independent of the real batch's
+    # population-weighted bucket (data_utils.py:385-387).
+    # Compile cost of 'independent' depends on shape_mode:
+    #   'bucketed': lazy per-(real,fake) pair specialization, up to
+    #       bucket_size^2 compiles — avoid on the remote-compile backend.
+    #   'padded': ONE static shape; the true lengths ride as per-sample data
+    #       (masks + CTC lengths), so padded+'independent' IS the reference's
+    #       independent draw at exactly one compilation (tests/test_pairing.py
+    #       pins the distributions; campaign arm 'pi' trained it to 10 epochs).
     bucket_pairing: str = "matched"
     # Batch composition ('padded' shape mode only):
     #   'bucket' (default): every sample in a batch shares one word length —
@@ -233,7 +241,9 @@ class ParallelConfig:
     # (data, model) grid and splits every weight's output-channel axis across
     # the model axis — activations inherit channel shardings through GSPMD,
     # so per-device conv FLOPs and activation memory drop with this factor.
-    # Mutually exclusive with fsdp for now. num_devices must be divisible.
+    # COMPOSES with fsdp (parallel/fsdp_tp.py): output channels shard on the
+    # model axis for compute, the largest remaining axis shards on the data
+    # axis for ZeRO-3 memory. num_devices must be divisible.
     model_parallel: int = 1
 
 

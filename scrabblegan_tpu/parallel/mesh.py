@@ -66,12 +66,16 @@ def state_sharding_for(cfg: Config, mesh: Mesh, state_shapes=None):
     fsdp = getattr(cfg.parallel, "fsdp", False) and mesh.shape.get("data", 1) > 1
     if not (tp or fsdp):
         return replicate_sharding(mesh)
-    if tp and fsdp:
-        raise ValueError("parallel.fsdp and parallel.model_parallel>1 are "
-                         "mutually exclusive (compose in a future round)")
     if state_shapes is None:
         raise ValueError("fsdp/tp state sharding requires state_shapes "
                          "(jax.eval_shape of the TrainState)")
+    if tp and fsdp:
+        # composed 2-D layout: output channels on 'model' (compute sharding),
+        # largest remaining axis on 'data' (ZeRO-3 memory sharding)
+        from scrabblegan_tpu.parallel.fsdp_tp import fsdp_tp_state_shardings
+
+        return fsdp_tp_state_shardings(mesh, state_shapes,
+                                       fsdp_min_size=cfg.parallel.fsdp_min_size)
     if tp:
         from scrabblegan_tpu.parallel.tp import tp_state_shardings
 

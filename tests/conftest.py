@@ -16,7 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # timeout CHECK-aborts the whole process. Give collectives room.
 if "collective_call_terminate" not in flags:
     flags += (" --xla_cpu_collective_timeout_seconds=1200"
-              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+              # time-shared replica threads trip the 20s "may be stuck"
+              # rendezvous warning spuriously; keep the test logs clean
+              " --xla_cpu_collective_call_warn_stuck_timeout_seconds=1200")
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import pytest  # noqa: E402
