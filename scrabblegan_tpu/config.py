@@ -82,6 +82,22 @@ class OptimizerConfig:
     # same checkpoint (scripts/ema_standing_stats_ab.py, docs/QUALITY.md).
     # 0 disables (export reuses live stats). Ignored when g_ema_decay == 0.
     ema_standing_stat_batches: int = 100
+    # Adam update implementation. The update is a pure HBM-bandwidth cost
+    # (train/optim.py): 134M params x 28 B/param = 3.75 GB/step = ~4.6 ms of
+    # the ~6 ms non-network step tail (docs/PARITY.md attribution).
+    #   'optax': stock optax.adam — reference-parity state layout (f32 m, v).
+    #   'lean' : train/optim.lean_adam — elides the first-moment buffer when
+    #       beta_1 == 0 (EXACT same math, and beta_1=0 IS the reference
+    #       default, scrabble_gan.gin:6) and stores the second moment in
+    #       `moment_dtype`. 28 -> 16 B/param.
+    # Checkpoint-coupled (the optimizer-state leaf set/dtype changes); the
+    # workdir's config.json records it and restore/infer auto-load it.
+    adam_impl: str = "optax"
+    # Storage dtype for lean Adam's moments: 'float32' | 'bfloat16'. The EMA
+    # math runs in the gradient dtype (f32) either way; bf16 storage costs
+    # ~0.2% relative error on the per-parameter step size. Ignored when
+    # adam_impl='optax'.
+    moment_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

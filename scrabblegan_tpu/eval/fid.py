@@ -68,3 +68,51 @@ def compute_rfid(gen_images: np.ndarray, real_images: np.ndarray,
         return np.concatenate(out, 0)
 
     return frechet_distance(feats(gen_images), feats(real_images))
+
+
+def random_features(seed: int = 0, widths=(64, 128, 256, 512)) -> Callable:
+    """Feature extractor from a FIXED-SEED random (untrained) conv net.
+
+    A second, independent Fréchet axis next to `recognizer_features`: the
+    recognizer extractor is trained by the very run being scored (rFID is
+    self-referential), while this one is a deterministic function of `seed`
+    only — identical across runs, arms, and rounds, with no training signal
+    from either distribution. Random untrained embeddings are a known usable
+    FID backbone (features = hierarchies of random projections; Fréchet
+    distance over them still separates distributions), and agreement between
+    the two extractors is evidence a quality trend is not an artifact of the
+    recognizer's own features.
+
+    Architecture: 3x3 stride-2 He-initialized convs (`widths` deep) + ReLU,
+    global average pool -> (N, widths[-1]). Width-pooling makes it length-
+    agnostic like the recognizer trunk. JAX's threefry RNG makes the weights
+    backend- and shape-independent for a given seed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(widths))
+    kernels = []
+    cin = 1
+    for k, w in zip(keys, widths):
+        fan_in = 9 * cin
+        kernels.append(jax.random.normal(k, (3, 3, cin, w), jnp.float32)
+                       * (2.0 / fan_in) ** 0.5)
+        cin = w
+
+    @jax.jit
+    def extract(imgs):
+        x = jnp.asarray(imgs, jnp.float32)
+        if x.ndim == 3:
+            x = x[..., None]
+        for kern in kernels:
+            x = jax.lax.conv_general_dilated(
+                x, kern, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jnp.maximum(x, 0.0)
+        return x.mean(axis=(1, 2))
+
+    def extractor(images: np.ndarray) -> np.ndarray:
+        return np.asarray(extract(images))
+
+    return extractor

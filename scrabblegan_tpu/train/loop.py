@@ -157,7 +157,23 @@ class Trainer:
     # ------------------------------------------------------------------ setup
     def init_state(self, resume: bool = True) -> TrainState:
         rng = jax.random.PRNGKey(self.cfg.seed)
-        state = create_train_state(self.cfg, rng, self.models)
+        # Build the initial state on the host CPU backend when one exists:
+        # on the remote-TPU backend the four networks' init graphs are a
+        # multi-minute cold compile (it killed a healthy campaign run twice
+        # via the outer stall supervisor), while CPU init + one state
+        # transfer is ~1 min (the tunnel moves ~134 MB/s H2D, BENCH_r02).
+        # Numerics are identical — JAX's threefry RNG is backend-invariant.
+        cpu = None
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu = None  # cpu platform not configured; init on default
+        if cpu is not None:
+            with jax.default_device(cpu):
+                state = create_train_state(self.cfg, rng, self.models)
+        else:
+            state = create_train_state(self.cfg, rng, self.models)
         state = jax.device_put(state, self._state_sh)
         if resume:
             restored, step = ckpt_lib.restore_state(self.ckpt_path, state)
@@ -361,7 +377,28 @@ class Trainer:
         if batches_per_epoch is None:
             batches_per_epoch = int(cfg.io.buf_size / cfg.shared.batch_size) + 1
 
+        # Stall self-heal: the tunnel backend can lose a dispatched result,
+        # blocking the next device_get forever (utils/watchdog.py). Exit 86
+        # lets a supervisor retry; resume picks up from the last checkpoint.
+        # Started BEFORE init_state: on a cold cache the four init graphs
+        # compile on the remote backend for many minutes with no file
+        # activity, and an outer file-activity supervisor
+        # (scripts/run_campaign.sh) would read that as a stall unless the
+        # watchdog's heartbeat file is already being touched (observed: a
+        # healthy c4sk first-run killed at exactly 900s during init).
+        watchdog = None
+        if cfg.io.stall_timeout_s:
+            from scrabblegan_tpu.utils.watchdog import StallWatchdog
+
+            watchdog = StallWatchdog(
+                cfg.io.stall_timeout_s,
+                touch_file=os.path.join(self.workdir, ".heartbeat")).start()
+            # covers the init compiles AND a multi-GB checkpoint restore fetch
+            watchdog.grace(cfg.io.compile_grace_s)
+
         state = self.init_state(resume=resume)
+        if watchdog:
+            watchdog.beat()
         start_step = int(jax.device_get(state.step))
         start_epoch = start_step // batches_per_epoch
         writer = SummaryWriter(self.gen_path, append=start_step > 0)
@@ -399,19 +436,6 @@ class Trainer:
         # artifacts intact (the reference would silently train on NaN).
         diverged = [None]
 
-        # Stall self-heal: the tunnel backend can lose a dispatched result,
-        # blocking the next device_get forever (utils/watchdog.py). Exit 86
-        # lets a supervisor retry; resume picks up from the last checkpoint.
-        watchdog = None
-        if cfg.io.stall_timeout_s:
-            from scrabblegan_tpu.utils.watchdog import StallWatchdog
-
-            # the heartbeat file lets a file-activity supervisor
-            # (scripts/run_campaign.sh) see liveness during compile-bound
-            # phases that write nothing to the workdir
-            watchdog = StallWatchdog(
-                cfg.io.stall_timeout_s,
-                touch_file=os.path.join(self.workdir, ".heartbeat")).start()
         # cold-compile grace: the first dispatch of each batch shape blocks in
         # XLA compile for minutes with no beats — announce it so the watchdog
         # (and its heartbeat file) don't read a healthy compile as a stall

@@ -117,7 +117,15 @@ def make_optimizers(cfg: Config) -> Dict[str, optax.GradientTransformation]:
                 0.0, lr, o.warmup_steps, o.decay_steps)
         raise ValueError(f"unknown lr_schedule: {o.lr_schedule}")
 
-    adam = lambda lr: optax.adam(schedule(lr), b1=o.beta_1, b2=o.beta_2)
+    if o.adam_impl == "lean":
+        from scrabblegan_tpu.train.optim import lean_adam
+
+        adam = lambda lr: lean_adam(schedule(lr), b1=o.beta_1, b2=o.beta_2,
+                                    moment_dtype=o.moment_dtype)
+    elif o.adam_impl == "optax":
+        adam = lambda lr: optax.adam(schedule(lr), b1=o.beta_1, b2=o.beta_2)
+    else:
+        raise ValueError(f"unknown adam_impl {o.adam_impl!r}")
     return {
         "g": adam(o.g_lr),
         "d": adam(o.d_lr),

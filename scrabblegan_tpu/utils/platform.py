@@ -14,12 +14,25 @@ import os
 
 def apply_env_platform() -> str | None:
     """Force jax's platform config to match the JAX_PLATFORMS env var, if set.
-    Must run before any backend initializes. Returns the applied value."""
+    Must run before any backend initializes. Returns the applied value.
+
+    Always keeps a 'cpu' backend available alongside the accelerator (e.g.
+    'axon' -> 'axon,cpu'): the first platform stays the default device, and
+    host-side param init (Trainer.init_state) + analytic FLOP tracing need the
+    CPU client. No-op when the platform list already includes cpu or when no
+    platform is pinned at all (auto-detection keeps cpu anyway)."""
     plat = os.environ.get("JAX_PLATFORMS")
-    if not plat:
-        return None
     import jax
 
+    if not plat:
+        try:  # a sitecustomize may have pinned the platform before us
+            plat = jax.config.jax_platforms
+        except AttributeError:
+            plat = None
+    if not plat:
+        return None
+    if "cpu" not in plat.split(","):
+        plat = plat + ",cpu"
     try:
         jax.config.update("jax_platforms", plat)
     except Exception:

@@ -203,6 +203,7 @@ def main(argv=None):
         character_error_rate,
         compute_rfid,
         greedy_ctc_decode,
+        random_features,
         recognizer_features,
     )
     from scrabblegan_tpu.train import checkpoint as ckpt_lib
@@ -264,6 +265,10 @@ def main(argv=None):
     total_steps = int(jax.device_get(state.step))
     extractor = recognizer_features(trainer.models.recognizer,
                                     state.r_params, state.r_stats)
+    # second, run-independent Fréchet axis (fixed-seed random conv net):
+    # agreement with rFID is evidence the trend isn't an artifact of the
+    # run's own recognizer features (eval/fid.py random_features docstring)
+    rand_extractor = random_features(seed=0)
 
     n = args.eval_samples
     rng = np.random.default_rng(123)
@@ -313,6 +318,8 @@ def main(argv=None):
             gen = generate_batched(jit_gen, cfg, variables, eval_labels,
                                    eval_style, eval_z)
             rfid = compute_rfid(gen, real_imgs, extractor, batch_size=64)
+            rfid_rand = compute_rfid(gen, real_imgs, rand_extractor,
+                                     batch_size=64)
             g_logits = np.concatenate([
                 np.asarray(jit_rec(rec_vars, gen[i:i + 64]))
                 for i in range(0, n, 64)])
@@ -323,6 +330,7 @@ def main(argv=None):
             want = [list(map(int, row)) for row in eval_labels]
             cer_gen = character_error_rate(g_preds, want)
             row = {"run": args.run, "epoch": ep, "rfid": round(rfid, 4),
+                   "rfid_rand": round(rfid_rand, 4),
                    "cer_gen": round(cer_gen, 4), "cer_real": round(cer_real, 4),
                    "num_samples": n, "bucket": EVAL_BUCKET,
                    "total_steps": total_steps,

@@ -92,3 +92,40 @@ class TestDecode:
         assert seq == [2, 2] and all(isinstance(x, int) for x in seq)
         assert character_error_rate([seq], [[2, 2]]) == 0.0
         assert character_error_rate([seq], [["c", "c"]]) == 1.0
+
+
+class TestRandomFeatures:
+    """Fixed-seed random extractor (eval/fid.py random_features): the
+    run-independent second Fréchet axis next to the self-referential rFID."""
+
+    def test_deterministic_and_shape(self):
+        from scrabblegan_tpu.eval import random_features
+
+        imgs = np.random.default_rng(0).uniform(
+            -1, 1, (8, 32, 80, 1)).astype(np.float32)
+        a = random_features(seed=0)(imgs)
+        b = random_features(seed=0)(imgs)
+        assert a.shape == (8, 512)
+        np.testing.assert_array_equal(a, b)
+        c = random_features(seed=1)(imgs)
+        assert not np.allclose(a, c)
+
+    def test_separates_distributions(self):
+        from scrabblegan_tpu.eval import random_features
+
+        rng = np.random.default_rng(0)
+        ex = random_features()
+        a = rng.uniform(-1, 1, (64, 32, 80, 1)).astype(np.float32)
+        b = rng.uniform(-1, 1, (64, 32, 80, 1)).astype(np.float32)
+        shifted = np.clip(a * 0.2 - 0.8, -1, 1)
+        near = compute_rfid(a, b, ex, batch_size=32)
+        far = compute_rfid(a, shifted, ex, batch_size=32)
+        assert far > 5 * near  # same dist ~ sampling floor; shifted >> it
+
+    def test_width_agnostic(self):
+        from scrabblegan_tpu.eval import random_features
+
+        ex = random_features()
+        w80 = ex(np.zeros((2, 32, 80, 1), np.float32))
+        w160 = ex(np.zeros((2, 32, 160, 1), np.float32))
+        assert w80.shape == w160.shape == (2, 512)
