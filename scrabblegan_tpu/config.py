@@ -92,7 +92,10 @@ class OptimizerConfig:
     #       `moment_dtype`. 28 -> 16 B/param.
     # Checkpoint-coupled (the optimizer-state leaf set/dtype changes); the
     # workdir's config.json records it and restore/infer auto-load it.
-    adam_impl: str = "optax"
+    # Default 'lean' per the on-chip A/B (scripts/adam_tail_ab.py, v5e len-5
+    # batch 16: optax 28.97 steps/s -> lean 30.50 (+5.3%) -> lean_bf16 30.95);
+    # set 'optax' for the round-2 checkpoint state layout.
+    adam_impl: str = "lean"
     # Storage dtype for lean Adam's moments: 'float32' | 'bfloat16'. The EMA
     # math runs in the gradient dtype (f32) either way; bf16 storage costs
     # ~0.2% relative error on the per-parameter step size. Ignored when

@@ -46,6 +46,20 @@ _USE_FUSED_BLOCK = os.environ.get("SCRABBLEGAN_FUSED_BLOCK", "1") != "0"
 
 _LOG2E = 1.4426950408889634
 
+
+def _on_tpu() -> bool:
+    """True when ops would lower for a TPU device RIGHT HERE. The default
+    BACKEND is not enough: under `jax.default_device(cpu)` (host-side init,
+    bench param init) the process backend is still the TPU tunnel but the
+    enclosed computation compiles for CPU, where a non-interpret pallas_call
+    fails with "Only interpret mode is supported on CPU backend"."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        plat = getattr(dev, "platform", str(dev))
+        return plat == "tpu" or "axon" in plat
+    plat = jax.default_backend()
+    return plat == "tpu" or "axon" in plat
+
 try:  # pltpu import fails on non-TPU-capable builds; fall back gracefully
     from jax.experimental.pallas import tpu as pltpu
 
@@ -424,7 +438,7 @@ def fused_nonlocal_block(x_flat, w_theta, phiT, gT, w_out, sigma,
     w_out_s = (w_out.astype(jnp.float32)
                * sigma.astype(jnp.float32)).astype(w_out.dtype)
     q_block = _pick_q_block(n, k)
-    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    on_tpu = _on_tpu()
     if (not fuse or not _USE_FUSED_BLOCK or not _HAS_PLTPU or not on_tpu
             or n % q_block != 0 or q_block % 128 != 0):
         return _fused_block_reference(x_flat, w_theta, phiT, gT, w_out_s)
@@ -441,7 +455,7 @@ def nonlocal_attention_packed(thetaT, phiT, gT):
     or when shapes miss the tiling preconditions; numerics match either way."""
     q, k = thetaT.shape[2], phiT.shape[2]
     q_block = _pick_q_block(q, k)
-    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    on_tpu = _on_tpu()
     if not _HAS_PLTPU or not on_tpu or q % q_block != 0 or q_block % 128 != 0:
         out = _xla_attention(jnp.swapaxes(thetaT, 1, 2),
                              jnp.swapaxes(phiT, 1, 2), jnp.swapaxes(gT, 1, 2))
@@ -462,7 +476,7 @@ def nonlocal_attention(theta, phi, g):
     ever touches lane-padded layouts; JAX differentiates the transposes."""
     q, k = theta.shape[1], phi.shape[1]
     q_block = _pick_q_block(q, k)
-    on_tpu = jax.default_backend() == "tpu" or "axon" in jax.default_backend()
+    on_tpu = _on_tpu()
     if not _HAS_PLTPU or not on_tpu or q % q_block != 0 or q_block % 128 != 0:
         return _xla_attention(theta, phi, g)
     outT = _attention_op(jnp.swapaxes(theta, 1, 2), jnp.swapaxes(phi, 1, 2),

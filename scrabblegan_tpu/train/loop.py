@@ -170,8 +170,15 @@ class Trainer:
             except RuntimeError:
                 cpu = None  # cpu platform not configured; init on default
         if cpu is not None:
+            # Init with the XLA-attention twin: same param tree and values
+            # (tests/test_attention.py pins the equivalence), but the pallas
+            # path would crash lowering for the CPU device (pallas_call
+            # supports only interpret mode on CPU) — kernels/attention.py's
+            # _on_tpu() also guards this, so the twin is belt-and-braces plus
+            # a cheaper CPU compile of the four init graphs.
+            init_models = build_models(self.cfg, use_pallas_attention=False)
             with jax.default_device(cpu):
-                state = create_train_state(self.cfg, rng, self.models)
+                state = create_train_state(self.cfg, rng, init_models)
         else:
             state = create_train_state(self.cfg, rng, self.models)
         state = jax.device_put(state, self._state_sh)

@@ -222,3 +222,47 @@ class TestNonlocalAttention:
         err_1p = np.abs(trunc - exact).max() / scale
         assert err_x3 < 3e-5, err_x3
         assert err_1p > 10 * err_x3, (err_1p, err_x3)
+
+
+class TestOnTpuDetection:
+    """_on_tpu() must reflect the device ops would LOWER for, not just the
+    process default backend: under jax.default_device(cpu) on a TPU-backend
+    process (host-side init, bench param init) a non-interpret pallas_call
+    crashes on the CPU backend — the regression that killed quality-campaign
+    runs on the tunnel backend (pmsk attempt 1, 2026-08-20)."""
+
+    def test_default_device_cpu_wins_over_tpu_backend(self, monkeypatch):
+        from scrabblegan_tpu.kernels import attention as ka
+
+        monkeypatch.setattr(ka.jax, "default_backend", lambda: "axon")
+        assert ka._on_tpu()  # backend says tpu-tunnel, no default_device set
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            assert not ka._on_tpu()  # lowering target is CPU
+        assert ka._on_tpu()  # context exited: back to the backend answer
+
+    def test_cpu_backend_is_not_tpu(self):
+        from scrabblegan_tpu.kernels import attention as ka
+
+        assert not ka._on_tpu()  # test env forces the cpu platform
+
+
+class TestHostSideInitWithPallasModels:
+    def test_init_state_under_default_device(self):
+        """Trainer.init_state builds the initial state under
+        jax.default_device(cpu) with the XLA-attention twin; the state must
+        carry the exact param tree the pallas models expect."""
+        from scrabblegan_tpu.config import load_config
+        from scrabblegan_tpu.train.state import build_models, create_train_state
+
+        cfg = load_config(None, {"shared.batch_size": 2, "io.bucket_size": 3})
+        rng = jax.random.PRNGKey(0)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            twin = create_train_state(
+                cfg, rng, build_models(cfg, use_pallas_attention=False))
+        ref = create_train_state(cfg, rng, build_models(cfg))
+        assert (jax.tree.structure(twin.g_params)
+                == jax.tree.structure(ref.g_params))
+        for a, b in zip(jax.tree.leaves(twin.g_params),
+                        jax.tree.leaves(ref.g_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
