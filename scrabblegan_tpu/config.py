@@ -309,6 +309,16 @@ def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) ->
     if path:
         with open(path) as f:
             data = json.load(f)
+        # Checkpoint-layout back-compat (ADVICE r3): configs persisted before
+        # the `adam_impl` key existed were written when 'optax' was the only
+        # layout — filling the missing key from today's dataclass default
+        # ('lean') would silently re-interpret those checkpoints' optimizer
+        # tree and fail restore with a leaf mismatch. A file that HAS an
+        # optimizer section but no adam_impl key predates the flag: pin it
+        # to the layout in force when it was written.
+        opt = data.get("optimizer")
+        if isinstance(opt, dict) and "adam_impl" not in opt:
+            opt["adam_impl"] = "optax"
     cfg = _dataclass_from_dict(Config, data)
     if overrides:
         cfg = apply_overrides(cfg, overrides)

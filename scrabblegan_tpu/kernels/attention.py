@@ -52,7 +52,15 @@ def _on_tpu() -> bool:
     BACKEND is not enough: under `jax.default_device(cpu)` (host-side init,
     bench param init) the process backend is still the TPU tunnel but the
     enclosed computation compiles for CPU, where a non-interpret pallas_call
-    fails with "Only interpret mode is supported on CPU backend"."""
+    fails with "Only interpret mode is supported on CPU backend".
+
+    Known limitation (perf-only, ADVICE r3): this is a trace-time Python
+    branch, not a per-device lowering check. A computation explicitly placed
+    on the TPU via jit's device/sharding args while a CPU default_device is
+    active (or a trace cached under the opposite context) takes the XLA
+    fallback path — numerically identical, just without the fused kernel.
+    No repo code path does that; if explicit-placement use appears, key this
+    on the actual lowering platform instead."""
     dev = jax.config.jax_default_device
     if dev is not None:
         plat = getattr(dev, "platform", str(dev))

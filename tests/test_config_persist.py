@@ -30,6 +30,27 @@ class TestSaveLoadRoundtrip:
         # dataclass equality covers every leaf (tuples restored from lists)
         assert loaded == cfg
 
+    def test_pre_lean_config_pins_optax_layout(self, tmp_path):
+        """ADVICE r3: a persisted config.json written before the adam_impl
+        key existed (full optimizer section, no adam_impl) was trained under
+        the 'optax' state layout — loading it must NOT adopt today's 'lean'
+        default, or restore fails with an optimizer-tree leaf mismatch."""
+        cfg = Config()
+        data = config_to_dict(cfg)
+        del data["optimizer"]["adam_impl"]
+        path = tmp_path / "config.json"
+        path.write_text(json.dumps(data))
+        loaded = load_config(str(path))
+        assert loaded.optimizer.adam_impl == "optax"
+        # ...but a file that round-trips the modern key keeps it verbatim
+        save_config(cfg, str(path))
+        assert load_config(str(path)).optimizer.adam_impl == cfg.optimizer.adam_impl
+        # and a minimal hand-written config with NO optimizer section gets
+        # pure dataclass defaults (it never described a checkpoint layout)
+        (tmp_path / "mini.json").write_text(json.dumps({"shared": {"batch_size": 4}}))
+        assert (load_config(str(tmp_path / "mini.json")).optimizer.adam_impl
+                == Config().optimizer.adam_impl)
+
     def test_dict_matches_json(self, tmp_path):
         cfg = Config()
         path = save_config(cfg, str(tmp_path / "config.json"))

@@ -261,8 +261,12 @@ class TestHostSideInitWithPallasModels:
             twin = create_train_state(
                 cfg, rng, build_models(cfg, use_pallas_attention=False))
         ref = create_train_state(cfg, rng, build_models(cfg))
-        assert (jax.tree.structure(twin.g_params)
-                == jax.tree.structure(ref.g_params))
-        for a, b in zip(jax.tree.leaves(twin.g_params),
-                        jax.tree.leaves(ref.g_params)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # The WHOLE TrainState must agree (ADVICE r3): a twin divergence in
+        # d/r/w params, SN power vectors, BN stats, or optimizer-state trees
+        # would otherwise only surface as a runtime device_put/step failure.
+        assert jax.tree.structure(twin) == jax.tree.structure(ref)
+        for name in ("g_params", "d_params", "r_params", "w_params"):
+            ta, tb = getattr(twin, name), getattr(ref, name)
+            assert jax.tree.structure(ta) == jax.tree.structure(tb), name
+            for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
