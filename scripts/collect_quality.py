@@ -77,10 +77,17 @@ def main(argv=None):
              "cer_gen = CER of that recognizer reading generated images,",
              "cer_real = its CER on real data (the floor).", ""]
     for name, rows in summary.items():
-        first, last = rows[0], rows[-1]
-        best = min(rows, key=lambda r: r["rfid"])
+        # multi-bucket sweeps (--eval-buckets all) carry one row per
+        # (epoch, bucket): the headline epoch curve uses the canonical len-5
+        # bucket (or the middlemost available), plus a length-generalization
+        # table over the final epoch when more than one bucket was scored
+        buckets = sorted({r["bucket"] for r in rows})
+        head_bucket = 5 if 5 in buckets else buckets[len(buckets) // 2]
+        hrows = [r for r in rows if r["bucket"] == head_bucket]
+        first, last = hrows[0], hrows[-1]
+        best = min(hrows, key=lambda r: r["rfid"])
         lines += [f"## {name}", "",
-                  f"- epochs scored: {len(rows)}; samples/epoch: "
+                  f"- epochs scored: {len(hrows)}; samples/epoch: "
                   f"{last['num_samples']} (len-{last['bucket']} words)",
                   f"- rFID: {first['rfid']:.3f} (ep {first['epoch']}) -> "
                   f"{last['rfid']:.3f} (ep {last['epoch']}); best "
@@ -91,8 +98,20 @@ def main(argv=None):
                   f"({last.get('total_steps', '?')} steps)", "",
                   "| epoch | rFID | cer_gen |", "|---|---|---|"]
         lines += [f"| {r['epoch']} | {r['rfid']:.3f} | {r['cer_gen']:.3f} |"
-                  for r in rows]
+                  for r in hrows]
         lines.append("")
+        if len(buckets) > 1:
+            final_ep = max(r["epoch"] for r in rows)
+            frows = {r["bucket"]: r for r in rows if r["epoch"] == final_ep}
+            lines += [f"Length generalization @ epoch {final_ep} "
+                      "(rFID / cer_gen / cer_real per word length):", "",
+                      "| len | rFID | cer_gen | cer_real |",
+                      "|---|---|---|---|"]
+            lines += [f"| {b} | {frows[b]['rfid']:.3f} | "
+                      f"{frows[b]['cer_gen']:.3f} | "
+                      f"{frows[b]['cer_real']:.3f} |"
+                      for b in buckets if b in frows]
+            lines.append("")
     out_md = os.path.join(args.out, "RESULTS.md")
     os.makedirs(args.out, exist_ok=True)
     with open(out_md, "w") as f:
