@@ -12,15 +12,25 @@ timeout lands (round-2 lesson: a 486 s cold XLA compile pushed the single
 final print past the driver budget and the official record was empty).
 All non-JSON output goes to stderr.
 
-Sections, in decreasing order of importance (the order they run):
+Sections (the order they run):
   1. inference len-5  (the headline img/s + MFU)
   2. train step len-5 (raw device rate, batch 16 = the reference schedule)
-  3. e2e trainer      (real Trainer loop incl. host pipeline, epoch-2 rate)
-  4. inference len-10
-  5. train step len-10
+  3. inference len-10
+  4. train step len-10
+  5. e2e trainer      (real Trainer loop incl. host pipeline, epoch-2 rate)
 An internal wall-clock budget (SCRABBLEGAN_BENCH_BUDGET_S, default 840 s)
 skips later sections when a cold compile has eaten the budget, so the
 process itself exits 0 with whatever it measured.
+
+Why e2e runs LAST (round-4 restructure): the compile cache directory does
+NOT survive across driver rounds (fresh home dir each round — verified by
+entry mtimes), so every official bench is cold. The raw train sections now
+construct their step EXACTLY like the Trainer does (same config path, same
+make_parallel_train_step wrapper, same uint8 wire batches), so the e2e
+section's step compile is a persistent-cache DISK HIT from section 2 instead
+of a fresh multi-minute remote compile — the 468 s e2e section of BENCH_r03
+shrinks to its honest loop + init + artifact cost, and all five sections fit
+the 840 s budget cold.
 
 Config mirrors BASELINE.json config 1: big_ac_gan generator, fixed-length 5-char
 words, sampled-z path, inference mode, bfloat16 compute (params fp32).
@@ -196,16 +206,7 @@ def main():
         _RESULT["extra"]["mfu_train_len5"] = round(mfu_tr5, 4)
         emit()
 
-    # ---- section 3: end-to-end trainer rate ----
-    if not _skip("e2e"):
-        e2e_steps_per_sec = _bench_trainer_e2e(log)
-        _RESULT["extra"]["train_steps_per_sec_e2e"] = round(e2e_steps_per_sec, 2)
-        raw = _RESULT["extra"].get("train_steps_per_sec_batch16")
-        if raw:
-            _RESULT["extra"]["e2e_over_raw"] = round(e2e_steps_per_sec / raw, 3)
-        emit()
-
-    # ---- sections 4+5: the len-10 pair ----
+    # ---- sections 3+4: the len-10 pair ----
     if not _skip("inf10"):
         images_per_sec_10, mfu_inf10 = bench_inference(10, 30)
         _RESULT["extra"]["images_per_sec_len10"] = round(images_per_sec_10, 1)
@@ -219,23 +220,51 @@ def main():
         _RESULT["extra"]["mfu_train_len10"] = round(mfu_tr10, 4)
         emit()
 
+    # ---- section 5: end-to-end trainer rate (last: its step compile is a
+    # disk-cache hit from section 2, so only init/artifact costs remain) ----
+    if not _skip("e2e"):
+        e2e_steps_per_sec = _bench_trainer_e2e(log)
+        _RESULT["extra"]["train_steps_per_sec_e2e"] = round(e2e_steps_per_sec, 2)
+        raw = _RESULT["extra"].get("train_steps_per_sec_batch16")
+        if raw:
+            _RESULT["extra"]["e2e_over_raw"] = round(e2e_steps_per_sec / raw, 3)
+        emit()
+
     log(f"bench done in {time.monotonic() - _T_START:.0f}s "
         f"(budget {BUDGET_S:.0f}s)")
 
 
+def _trainer_cfg(length):
+    """The EXACT config the e2e Trainer runs (modulo loop-only io.* knobs):
+    sharing this between the raw sections and the e2e section makes the e2e
+    step compile a persistent-cache disk hit instead of a cold remote
+    compile (see module docstring)."""
+    from scrabblegan_tpu.config import load_config
+
+    return load_config(None, {"shared.batch_size": 16, "io.seq_len": length,
+                              "shared.num_gen": 4})
+
+
 def _bench_train_step(jax, jnp, tpu_dev, cpu_dev, log, length=5):
     """Raw device step rate: full 4-network train step at the reference schedule
-    (batch 16 — scrabble_gan.gin:18) on a device-resident batch. The timed loop
+    (batch 16 — scrabble_gan.gin:18) on a device-resident batch. The step is
+    constructed exactly as the Trainer constructs it (make_parallel_train_step
+    over a 1-device mesh, uint8 wire batches, donated state) so its compile is
+    shared with the e2e section via the persistent cache. The timed loop
     chains state through donated buffers, so each step depends on the previous
     one (no pipelining illusion). Returns (steps/s, MFU)."""
     import numpy as np
 
-    from scrabblegan_tpu.config import Config, SharedSpecs
+    from scrabblegan_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        make_parallel_train_step,
+    )
     from scrabblegan_tpu.train.state import build_models, create_train_state
     from scrabblegan_tpu.train.step import make_train_step
     from scrabblegan_tpu.utils.flops import matmul_flops
 
-    cfg = Config(shared=dataclasses.replace(SharedSpecs(), batch_size=16))
+    cfg = _trainer_cfg(length)
     models = build_models(cfg)
     b = 16
     from scrabblegan_tpu.utils.fakeparams import fake_variables
@@ -243,18 +272,21 @@ def _bench_train_step(jax, jnp, tpu_dev, cpu_dev, log, length=5):
     with jax.default_device(cpu_dev):
         shapes = jax.eval_shape(
             lambda: create_train_state(cfg, jax.random.PRNGKey(0), models))
-    state = jax.device_put(fake_variables(shapes), tpu_dev)
+    state = fake_variables(shapes)
     rng = np.random.default_rng(0)
+    # uint8 wire format, like the Trainer ships batches
+    # (parallel.transfer_dtype default; the step normalizes on-device)
     np_batch = {
-        "real_imgs": rng.uniform(-1, 1, (b, 32, 16 * length, 1)).astype(np.float32),
+        "real_imgs": rng.integers(0, 256, (b, 32, 16 * length, 1)).astype(np.uint8),
         "real_labels": rng.integers(0, 52, (b, length)).astype(np.int32),
-        "style_imgs": rng.uniform(-1, 1, (b, 32, 160, 1)).astype(np.float32),
+        "style_imgs": rng.integers(0, 256, (b, 32, 160, 1)).astype(np.uint8),
         "fake_labels": rng.integers(0, 52, (b, length)).astype(np.int32),
     }
-    batch = jax.device_put(np_batch, tpu_dev)
+    mesh = make_mesh(cfg.parallel.num_devices, cfg.parallel.model_parallel)
+    state = jax.device_put(state, tpu_dev)
+    batch = jax.device_put(np_batch, batch_sharding(mesh))
 
-    step_fn = make_train_step(cfg, models)
-    step = jax.jit(step_fn, donate_argnums=(0,))
+    step = make_parallel_train_step(cfg, models, mesh)
     t0 = time.time()
     state, m = step(state, batch, jax.random.PRNGKey(1))
     _ = float(m["d_loss"])
@@ -305,13 +337,20 @@ def _bench_trainer_e2e(log) -> float:
 
     workdir = "/tmp/scrabblegan_bench_e2e"
     shutil.rmtree(workdir, ignore_errors=True)
+    # the step-affecting config EXACTLY matches _trainer_cfg(5) (the raw
+    # len-5 section), so the step compile here is a persistent-cache hit;
+    # io.ckpt_every only shapes the loop tail
     cfg = load_config(None, {"shared.batch_size": 16, "io.seq_len": 5,
                              "shared.num_gen": 4, "io.ckpt_every": 2})
+    t0 = time.time()
     read_dir, words_file, style_dir = make_synthetic_dataset(
         os.path.join(workdir, "data"), samples_per_bucket=64, bucket_size=5)
+    log(f"e2e: synthetic data in {time.time() - t0:.1f}s")
+    t0 = time.time()
     trainer = Trainer(cfg, workdir=workdir, verbose=False)
     trainer.load_data(read_dir=read_dir, style_dir=style_dir,
                       words_file=words_file)
+    log(f"e2e: trainer constructed in {time.time() - t0:.1f}s")
     bpe = 250
     t0 = time.time()
     trainer.train(epochs=2, batches_per_epoch=bpe, resume=False)
