@@ -28,8 +28,10 @@ def main(argv=None):
     p.add_argument("--style-dir", default=None)
     p.add_argument("--words-file", default=None)
     p.add_argument("--num-samples", type=int, default=256)
-    p.add_argument("--bucket", type=int, default=None,
-                   help="word-length bucket to evaluate (default: most populated)")
+    p.add_argument("--bucket", default=None,
+                   help="word-length bucket to evaluate, 'all' for a sweep "
+                        "over every nonempty bucket (one JSON line each), or "
+                        "a comma list (default: most populated)")
     p.add_argument("--config", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args(argv)
@@ -76,56 +78,71 @@ def main(argv=None):
         return 1
 
     ds = trainer.dataset
-    bucket = args.bucket or max(ds.nonempty, key=lambda b: len(ds.labels[b]))
+    if args.bucket == "all":
+        buckets = sorted(ds.nonempty)
+    elif args.bucket:
+        buckets = [int(b) for b in str(args.bucket).split(",")]
+    else:
+        buckets = [max(ds.nonempty, key=lambda b: len(ds.labels[b]))]
     n = args.num_samples
     bsz = cfg.shared.batch_size
 
-    real_imgs, real_labels = [], []
-    gen_imgs, gen_labels = [], []
     np_rng = np.random.default_rng(cfg.seed + 42)
     from scrabblegan_tpu.data.loaders import sample_fake_labels
 
     # EMA states need standing statistics (Trainer.standing_stats docstring);
     # None for non-EMA states -> generate() serves the live stats
     serve_stats = trainer.standing_stats(state)
-    while sum(len(x) for x in real_imgs) < n:
-        imgs, labels, _ = ds.sample_batch(bsz, bucket=bucket)
-        real_imgs.append(imgs)
-        real_labels.append(labels)
-        fake = sample_fake_labels(np_rng, trainer.random_words, bsz, bucket)
-        style_idx = np_rng.integers(0, len(trainer.style_train), size=bsz)
-        style = np.stack([trainer.style_train[i] for i in style_idx])[..., None]
-        out = trainer.generate(state, fake, stats=serve_stats,
-                               style_imgs=style.astype(np.float32),
-                               z=np.asarray(
-                                   jax.random.normal(jax.random.PRNGKey(len(gen_imgs)),
-                                                     (bsz, cfg.shared.latent_dim))))
-        gen_imgs.append(np.asarray(out, np.float32))
-        gen_labels.append(fake)
-
-    real_imgs = np.concatenate(real_imgs)[:n]
-    gen_imgs = np.concatenate(gen_imgs)[:n]
-    real_labels = np.concatenate(real_labels)[:n]
-
     extractor = recognizer_features(trainer.models.recognizer,
                                     state.r_params, state.r_stats)
-    rfid = compute_rfid(gen_imgs, real_imgs, extractor, batch_size=bsz)
-
-    # recognizer CER on real data (greedy decode)
     rec = trainer.models.recognizer
-    logits = np.asarray(rec.apply(
-        {"params": state.r_params, "batch_stats": state.r_stats},
-        real_imgs, train=False))
-    lengths = np.full((len(real_imgs),), 4 * bucket - 1, np.int32)
-    preds = greedy_ctc_decode(logits, lengths)
-    cer = character_error_rate(preds, [list(l) for l in real_labels])
+    rec_vars = {"params": state.r_params, "batch_stats": state.r_stats}
+    jit_rec = jax.jit(lambda v, imgs: rec.apply(v, imgs, train=False))
 
-    print(json.dumps({
-        "rfid": round(rfid, 4),
-        "cer_real": round(cer, 4),
-        "bucket": bucket,
-        "num_samples": int(n),
-    }))
+    def cer_of(imgs, want_rows, bucket):
+        logits = np.concatenate([
+            np.asarray(jit_rec(rec_vars, imgs[i:i + bsz]))
+            for i in range(0, len(imgs), bsz)])
+        preds = greedy_ctc_decode(
+            logits, np.full((len(imgs),), 4 * bucket - 1, np.int32))
+        return character_error_rate(preds, want_rows)
+
+    for bucket in buckets:
+        real_imgs, real_labels = [], []
+        gen_imgs, gen_labels = [], []
+        while sum(len(x) for x in real_imgs) < n:
+            imgs, labels, _ = ds.sample_batch(bsz, bucket=bucket)
+            real_imgs.append(imgs)
+            real_labels.append(labels)
+            fake = sample_fake_labels(np_rng, trainer.random_words, bsz, bucket)
+            style_idx = np_rng.integers(0, len(trainer.style_train), size=bsz)
+            style = np.stack(
+                [trainer.style_train[i] for i in style_idx])[..., None]
+            out = trainer.generate(state, fake, stats=serve_stats,
+                                   style_imgs=style.astype(np.float32),
+                                   z=np.asarray(jax.random.normal(
+                                       jax.random.PRNGKey(len(gen_imgs)),
+                                       (bsz, cfg.shared.latent_dim))))
+            gen_imgs.append(np.asarray(out, np.float32))
+            gen_labels.append(fake)
+
+        real_imgs = np.concatenate(real_imgs)[:n]
+        gen_imgs = np.concatenate(gen_imgs)[:n]
+        real_labels = np.concatenate(real_labels)[:n]
+        gen_labels = np.concatenate(gen_labels)[:n]
+
+        rfid = compute_rfid(gen_imgs, real_imgs, extractor, batch_size=bsz)
+        cer = cer_of(real_imgs, [list(l) for l in real_labels], bucket)
+        cer_gen = cer_of(gen_imgs,
+                         [list(map(int, row)) for row in gen_labels], bucket)
+
+        print(json.dumps({
+            "rfid": round(rfid, 4),
+            "cer_real": round(cer, 4),
+            "cer_gen": round(cer_gen, 4),
+            "bucket": int(bucket),
+            "num_samples": int(n),
+        }))
     return 0
 
 

@@ -113,7 +113,11 @@ RUNS = {
 # (data.synthetic.IAM_LENGTH_WEIGHTS); everyone else shares the uniform one.
 DATA_SKEW = {"c4sk": "iam", "pmsk": "iam"}
 
-EVAL_BUCKET = 5  # fixed word length for rFID/CER batches
+EVAL_BUCKET = 5  # default word length for rFID/CER batches
+# Variable width is the reference's core capability
+# (/root/reference/src/dinterface/iam_handwriting_db.py:73-80); scoring one
+# bucket leaves length-generalization unmeasured (VERDICT r3 item 5) —
+# --eval-buckets all sweeps every bucket per epoch.
 
 
 def ensure_dataset(root: str, samples_per_bucket: int, seed: int = 7,
@@ -182,6 +186,10 @@ def main(argv=None):
                         "pseudo-handwriting with per-sample variation")
     p.add_argument("--eval-only", action="store_true",
                    help="skip training; re-score existing epoch exports")
+    p.add_argument("--eval-buckets", default=str(EVAL_BUCKET),
+                   help="comma-separated word lengths to score per epoch, or "
+                        "'all' for every bucket 1..bucket_size (one "
+                        "quality.jsonl row per (epoch, bucket))")
     args = p.parse_args(argv)
 
     import faulthandler
@@ -252,6 +260,12 @@ def main(argv=None):
     if cfg.io.stall_timeout_s:
         wd = StallWatchdog(cfg.io.stall_timeout_s, label="eval",
                            touch_file=os.path.join(workdir, ".heartbeat")).start()
+        # the stretch from here to the first fixture beat includes the
+        # full-state restore fetch, the (possibly cold) CPU init compiles,
+        # and the state H2D — all progress-free; without this grace an
+        # --eval-only run dies at exactly stall_timeout_s (observed: pmsk
+        # re-sweep, 2026-08-20)
+        wd.grace(cfg.io.compile_grace_s)
 
     def _grace():  # before each first-use jit compile in the eval phase
         if wd:
@@ -270,41 +284,50 @@ def main(argv=None):
     # run's own recognizer features (eval/fid.py random_features docstring)
     rand_extractor = random_features(seed=0)
 
+    if args.eval_buckets == "all":
+        buckets = sorted(trainer.dataset.nonempty)
+    else:
+        buckets = [int(b) for b in args.eval_buckets.split(",")]
+
     n = args.eval_samples
     rng = np.random.default_rng(123)
-    real_imgs = []
-    while sum(len(x) for x in real_imgs) < n:
-        imgs, _, _ = trainer.dataset.sample_batch(64, bucket=EVAL_BUCKET)
-        real_imgs.append(imgs)
-    real_imgs = np.concatenate(real_imgs)[:n]
-
-    eval_labels = sample_fake_labels(rng, trainer.random_words, n, EVAL_BUCKET)
-    style_idx = rng.integers(0, len(trainer.style_train), size=n)
-    eval_style = np.stack([trainer.style_train[i] for i in style_idx])[..., None]
-    eval_style = eval_style.astype(np.float32)
-    eval_z = rng.standard_normal((n, cfg.shared.latent_dim)).astype(np.float32)
-
-    # CER of the final recognizer on REAL data (constant per run)
     rec = trainer.models.recognizer
     rec_vars = {"params": state.r_params, "batch_stats": state.r_stats}
     jit_rec = jax.jit(lambda v, imgs: rec.apply(v, imgs, train=False))
     jit_gen = make_jit_generate(trainer)
-    t_frames = 4 * EVAL_BUCKET - 1
-    real_b, real_lab = [], []
-    while sum(len(x) for x in real_b) < n:
-        imgs, labs, _ = trainer.dataset.sample_batch(64, bucket=EVAL_BUCKET)
-        real_b.append(imgs)
-        real_lab.append(labs)
-    real_b = np.concatenate(real_b)[:n]
-    real_lab = np.concatenate(real_lab)[:n]
-    _grace()  # first jit_rec dispatch compiles cold
-    logits = np.concatenate([
-        np.asarray(jit_rec(rec_vars, real_b[i:i + 64]))
-        for i in range(0, n, 64)])
-    preds = greedy_ctc_decode(logits, np.full((n,), t_frames, np.int32))
-    cer_real = character_error_rate(preds, [list(l) for l in real_lab])
-    _beat()
-    print(f"cer_real (final R on real data): {cer_real:.4f}", flush=True)
+
+    def rec_cer(imgs, want_rows, bucket):
+        """Greedy-decode CER of the final R on a (n, 32, 16*bucket, 1) stack."""
+        logits = np.concatenate([
+            np.asarray(jit_rec(rec_vars, imgs[i:i + 64]))
+            for i in range(0, len(imgs), 64)])
+        preds = greedy_ctc_decode(
+            logits, np.full((len(imgs),), 4 * bucket - 1, np.int32))
+        return character_error_rate(preds, want_rows)
+
+    # per-bucket eval fixtures: real stacks + fixed fake labels/style/z, and
+    # the per-bucket CER of the final recognizer on REAL data (constant per
+    # run — the floor that licenses rFID/cer_gen)
+    fixtures = {}
+    for bucket in buckets:
+        real_imgs, real_lab = [], []
+        while sum(len(x) for x in real_imgs) < n:
+            imgs, labs, _ = trainer.dataset.sample_batch(64, bucket=bucket)
+            real_imgs.append(imgs)
+            real_lab.append(labs)
+        real_imgs = np.concatenate(real_imgs)[:n]
+        real_lab = np.concatenate(real_lab)[:n]
+        eval_labels = sample_fake_labels(rng, trainer.random_words, n, bucket)
+        style_idx = rng.integers(0, len(trainer.style_train), size=n)
+        eval_style = np.stack(
+            [trainer.style_train[i] for i in style_idx])[..., None]
+        eval_style = eval_style.astype(np.float32)
+        eval_z = rng.standard_normal((n, cfg.shared.latent_dim)).astype(np.float32)
+        _grace()  # first jit_rec dispatch per width compiles cold
+        cer_real = rec_cer(real_imgs, [list(l) for l in real_lab], bucket)
+        _beat()
+        print(f"cer_real bucket {bucket}: {cer_real:.4f}", flush=True)
+        fixtures[bucket] = (real_imgs, eval_labels, eval_style, eval_z, cer_real)
 
     gen_root = os.path.join(trainer.model_path, "generator")
     epochs_avail = sorted(int(d) for d in os.listdir(gen_root) if d.isdigit())
@@ -313,33 +336,32 @@ def main(argv=None):
     with open(out_jsonl, "w") as f:
         for ep in epochs_avail:
             variables = ckpt_lib.load_generator(os.path.join(gen_root, str(ep)))
-            if ep == epochs_avail[0]:
-                _grace()  # first jit_gen + rFID-extractor compiles
-            gen = generate_batched(jit_gen, cfg, variables, eval_labels,
-                                   eval_style, eval_z)
-            rfid = compute_rfid(gen, real_imgs, extractor, batch_size=64)
-            rfid_rand = compute_rfid(gen, real_imgs, rand_extractor,
-                                     batch_size=64)
-            g_logits = np.concatenate([
-                np.asarray(jit_rec(rec_vars, gen[i:i + 64]))
-                for i in range(0, n, 64)])
-            g_preds = greedy_ctc_decode(
-                g_logits, np.full((n,), t_frames, np.int32))
-            # decode returns char IDS; compare ids-to-ids (eval_labels are
-            # already encoded rows)
-            want = [list(map(int, row)) for row in eval_labels]
-            cer_gen = character_error_rate(g_preds, want)
-            row = {"run": args.run, "epoch": ep, "rfid": round(rfid, 4),
-                   "rfid_rand": round(rfid_rand, 4),
-                   "cer_gen": round(cer_gen, 4), "cer_real": round(cer_real, 4),
-                   "num_samples": n, "bucket": EVAL_BUCKET,
-                   "total_steps": total_steps,
-                   "train_secs": round(train_secs, 1)}
-            rows.append(row)
-            f.write(json.dumps(row) + "\n")
-            f.flush()
-            _beat()
-            print(json.dumps(row), flush=True)
+            for bucket in buckets:
+                real_imgs, eval_labels, eval_style, eval_z, cer_real = \
+                    fixtures[bucket]
+                if ep == epochs_avail[0]:
+                    _grace()  # first jit_gen + extractor compiles per width
+                gen = generate_batched(jit_gen, cfg, variables, eval_labels,
+                                       eval_style, eval_z)
+                rfid = compute_rfid(gen, real_imgs, extractor, batch_size=64)
+                rfid_rand = compute_rfid(gen, real_imgs, rand_extractor,
+                                         batch_size=64)
+                # decode returns char IDS; compare ids-to-ids (eval_labels
+                # are already encoded rows)
+                want = [list(map(int, row)) for row in eval_labels]
+                cer_gen = rec_cer(gen, want, bucket)
+                row = {"run": args.run, "epoch": ep, "rfid": round(rfid, 4),
+                       "rfid_rand": round(rfid_rand, 4),
+                       "cer_gen": round(cer_gen, 4),
+                       "cer_real": round(cer_real, 4),
+                       "num_samples": n, "bucket": bucket,
+                       "total_steps": total_steps,
+                       "train_secs": round(train_secs, 1)}
+                rows.append(row)
+                f.write(json.dumps(row) + "\n")
+                f.flush()
+                _beat()
+                print(json.dumps(row), flush=True)
 
     if wd:
         wd.stop()
@@ -351,15 +373,24 @@ def main(argv=None):
         import matplotlib.pyplot as plt
 
         fig, ax1 = plt.subplots(figsize=(7, 4))
-        eps = [r["epoch"] for r in rows]
-        ax1.plot(eps, [r["rfid"] for r in rows], "o-", color="#1f77b4",
-                 label="rFID")
+        # multi-bucket sweeps: one rFID line per bucket; the CER axis tracks
+        # the default (or middlemost) bucket to keep the plot readable
+        cer_bucket = EVAL_BUCKET if EVAL_BUCKET in buckets else \
+            buckets[len(buckets) // 2]
+        for bucket in buckets:
+            brows = [r for r in rows if r["bucket"] == bucket]
+            ax1.plot([r["epoch"] for r in brows], [r["rfid"] for r in brows],
+                     "o-", alpha=0.9 if bucket == cer_bucket else 0.45,
+                     label=f"rFID L={bucket}" if len(buckets) > 1 else "rFID")
         ax1.set_xlabel("epoch")
-        ax1.set_ylabel("rFID (final-R features)", color="#1f77b4")
+        ax1.set_ylabel("rFID (final-R features)")
         ax1.set_yscale("log")
         ax2 = ax1.twinx()
-        ax2.plot(eps, [r["cer_gen"] for r in rows], "s--", color="#d62728",
-                 label="CER on generated")
+        crows = [r for r in rows if r["bucket"] == cer_bucket]
+        cer_real = fixtures[cer_bucket][4]
+        ax2.plot([r["epoch"] for r in crows], [r["cer_gen"] for r in crows],
+                 "s--", color="#d62728",
+                 label=f"CER on generated (L={cer_bucket})")
         ax2.axhline(cer_real, color="#2ca02c", lw=1, ls=":",
                     label=f"CER on real = {cer_real:.3f}")
         ax2.set_ylabel("CER", color="#d62728")

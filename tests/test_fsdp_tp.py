@@ -117,9 +117,10 @@ class TestFsdpTpStep:
         shard_shape = fb.sharding.shard_shape(fb.shape)
         assert shard_shape[-1] == fb.shape[-1] // 2, "model axis inactive"
         assert shard_shape[0] == fb.shape[0] // 4, "data axis inactive"
-        # Adam moments co-shard with their parameter
-        mu_fb = s_2d.g_opt[0].mu["filter_bank"]["filter_bank"]
-        assert mu_fb.sharding.shard_shape(mu_fb.shape) == shard_shape
+        # Adam moments co-shard with their parameter (nu: present in both the
+        # optax and lean layouts — lean elides mu at the default beta_1=0)
+        nu_fb = s_2d.g_opt[0].nu["filter_bank"]["filter_bank"]
+        assert nu_fb.sharding.shard_shape(nu_fb.shape) == shard_shape
 
         for name in m_rep:
             np.testing.assert_allclose(

@@ -32,12 +32,16 @@ def cfg():
 
 
 @pytest.fixture(scope="module")
-def trained(cfg, workdir, tmp_path_factory):
+def data_paths(tmp_path_factory):
+    data_root = str(tmp_path_factory.mktemp("data"))
+    return make_synthetic_dataset(data_root, samples_per_bucket=4, bucket_size=3)
+
+
+@pytest.fixture(scope="module")
+def trained(cfg, workdir, data_paths):
     from scrabblegan_tpu.train.loop import Trainer
 
-    data_root = str(tmp_path_factory.mktemp("data"))
-    read_dir, words_file, style_dir = make_synthetic_dataset(
-        data_root, samples_per_bucket=4, bucket_size=3)
+    read_dir, words_file, style_dir = data_paths
     trainer = Trainer(cfg, workdir=workdir, verbose=False)
     trainer.load_data(read_dir=read_dir, style_dir=style_dir, words_file=words_file)
     state = trainer.train(epochs=1, batches_per_epoch=2, resume=False)
@@ -262,3 +266,27 @@ class TestTrainRun:
         ])
         assert rc == 0
         assert os.path.exists(out_png)
+
+    def test_evaluate_bucket_all_sweep(self, trained, workdir, data_paths,
+                                       capsys):
+        """evaluate.py --bucket all (VERDICT r3 item 5): one JSON line per
+        nonempty bucket, each carrying rfid + cer_real + cer_gen — the
+        length-generalization sweep the single-bucket eval lacked."""
+        import json
+
+        import evaluate
+
+        read_dir, words_file, style_dir = data_paths
+        rc = evaluate.main([
+            "--workdir", workdir, "--read-dir", read_dir,
+            "--style-dir", style_dir, "--words-file", words_file,
+            "--bucket", "all", "--num-samples", "8",
+        ])
+        assert rc == 0
+        rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")]
+        assert [r["bucket"] for r in rows] == [1, 2, 3]
+        for r in rows:
+            for key in ("rfid", "cer_real", "cer_gen"):
+                assert key in r and np.isfinite(r[key]), (r, key)
+            assert 0.0 <= r["cer_gen"] <= 1.0 and 0.0 <= r["cer_real"] <= 1.0
