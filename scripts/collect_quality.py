@@ -17,19 +17,35 @@ import shutil
 
 
 def collect_run(run_dir: str, name: str, out_dir: str):
-    rows = []
-    qj = os.path.join(run_dir, "quality.jsonl")
-    if not os.path.exists(qj):
+    # quality.jsonl = the run's own per-epoch scores; quality_sweep.jsonl =
+    # optional epoch-restricted bucket sweeps (quality_campaign.py
+    # --eval-epochs). Merge, deduping on (epoch, bucket) with sweep rows
+    # winning (they are newer re-scores of the same exports).
+    merged = {}
+    found = False
+    # lowest precedence: rows already committed under docs/ — a partial or
+    # restricted re-score in runs/ must never erase earlier evidence
+    prior = os.path.join(out_dir, f"{name}.jsonl")
+    sources = [prior, os.path.join(run_dir, "quality.jsonl"),
+               os.path.join(run_dir, "quality_sweep.jsonl")]
+    for qj in sources:
+        if not os.path.exists(qj):
+            continue
+        if qj != prior:
+            found = True
+        with open(qj) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    r = json.loads(line)
+                    merged[(r["epoch"], r.get("bucket"))] = r
+    if not found or not merged:
         return None
-    with open(qj) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                rows.append(json.loads(line))
-    if not rows:
-        return None
+    rows = [merged[k] for k in sorted(merged)]
     os.makedirs(out_dir, exist_ok=True)
-    shutil.copy(qj, os.path.join(out_dir, f"{name}.jsonl"))
+    with open(os.path.join(out_dir, f"{name}.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
     curve = os.path.join(run_dir, "quality_curve.png")
     if os.path.exists(curve):
         shutil.copy(curve, os.path.join(out_dir, f"{name}_curve.png"))

@@ -190,6 +190,12 @@ def main(argv=None):
                    help="comma-separated word lengths to score per epoch, or "
                         "'all' for every bucket 1..bucket_size (one "
                         "quality.jsonl row per (epoch, bucket))")
+    p.add_argument("--eval-epochs", default=None,
+                   help="restrict scoring to these epochs: comma list or "
+                        "'last' (default: every available export). A full "
+                        "bucket sweep costs ~1 min/row over the tunnel, so "
+                        "'last' + --eval-buckets all is the cheap "
+                        "length-generalization pass")
     args = p.parse_args(argv)
 
     import faulthandler
@@ -331,8 +337,16 @@ def main(argv=None):
 
     gen_root = os.path.join(trainer.model_path, "generator")
     epochs_avail = sorted(int(d) for d in os.listdir(gen_root) if d.isdigit())
+    if args.eval_epochs == "last":
+        epochs_avail = epochs_avail[-1:]
+    elif args.eval_epochs:
+        want = {int(e) for e in args.eval_epochs.split(",")}
+        epochs_avail = [e for e in epochs_avail if e in want]
     rows = []
-    out_jsonl = os.path.join(workdir, "quality.jsonl")
+    # an epoch-restricted re-score must not clobber the full epoch-curve
+    # evidence: it lands in quality_sweep.jsonl and collect_quality.py merges
+    out_name = "quality_sweep.jsonl" if args.eval_epochs else "quality.jsonl"
+    out_jsonl = os.path.join(workdir, out_name)
     with open(out_jsonl, "w") as f:
         for ep in epochs_avail:
             variables = ckpt_lib.load_generator(os.path.join(gen_root, str(ep)))
