@@ -124,6 +124,13 @@ class SharedSpecs:
     # Computation dtype for the model forward/backward ('float32' | 'bfloat16').
     # Params are always float32.
     dtype: str = "float32"
+    # Compute dtype for the BN-FREE trunks only — D, W, and G's StyleEncoder
+    # (all ResNetBlockDown stacks with no batch norm): '' inherits `dtype`;
+    # 'bfloat16' halves their activation HBM traffic while G's up-stack
+    # (CBN/BN batch statistics — the part pmbf16 showed is noise-sensitive,
+    # docs/QUALITY.md) and R (BN + CTC) stay in `dtype`. Params are f32
+    # either way, so checkpoints are layout-identical and interchangeable.
+    trunk_dtype: str = ""
     # Fused Pallas attention kernel (kernels/attention.py): ~2x generator
     # inference and +13% train step on TPU; transparently falls back to the
     # pure-XLA path off-TPU or on non-tileable shapes.

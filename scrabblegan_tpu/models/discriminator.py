@@ -56,6 +56,9 @@ class _DownTrunk(nn.Module):
                 net = NonLocalBlock(use_sn=self.use_sn, use_pallas=self.use_pallas_attention,
                                     dtype=self.dtype, name=f"attn_{name}")(net, train)
         net = nn.relu(net)
+        # GAP reduces ~H*W values per channel: accumulate in f32 so a bf16
+        # trunk (config.shared.trunk_dtype) doesn't lose the sum's low bits
+        net = net.astype(jnp.float32)
         if width_mask is not None:
             # masked GAP for 'padded' shape mode: width_mask (B, W_feat) in {0,1}
             m = width_mask[:, None, :, None].astype(net.dtype)  # (B,1,W,1)

@@ -63,7 +63,8 @@ class StyleEncoder(nn.Module):
             if idx == 0:  # attention after B_style1 (net_architecture.py:245-246)
                 net = NonLocalBlock(use_sn=self.use_sn, dtype=self.dtype, name="attn")(net, train)
         net = nn.relu(net)
-        net = jnp.mean(net, axis=(1, 2))  # global average pool
+        # f32 accumulation for the pool (see _DownTrunk GAP note)
+        net = jnp.mean(net.astype(jnp.float32), axis=(1, 2))
         return SNDense(self.latent_dim, use_bias=False, use_sn=self.use_sn, dtype=self.dtype,
                        name="proj")(net, train)
 
@@ -84,6 +85,10 @@ class Generator(nn.Module):
     # length; pass `lengths` to whiten the image beyond 16*len px.
     num_pad_tokens: int = 0
     dtype: Any = jnp.float32
+    # Compute dtype for the (BN-free) style-encoder trunk; None = `dtype`.
+    # The encoder's 128-d z is cast back to `dtype` before the filter bank,
+    # so the CBN/BN-bearing up-stack is unaffected (config.shared.trunk_dtype).
+    style_encoder_dtype: Any = None
 
     @nn.compact
     def __call__(self, labels, style_imgs=None, z: Optional[jnp.ndarray] = None,
@@ -100,7 +105,9 @@ class Generator(nn.Module):
         if self.z_source == "style":
             if style_imgs is None:
                 raise ValueError("z_source='style' requires style_imgs")
-            z = StyleEncoder(self.latent_dim, use_sn=self.use_sn, dtype=self.dtype,
+            se_dtype = (self.dtype if self.style_encoder_dtype is None
+                        else self.style_encoder_dtype)
+            z = StyleEncoder(self.latent_dim, use_sn=self.use_sn, dtype=se_dtype,
                              name="style_encoder")(style_imgs, train)
         elif z is None:
             raise ValueError("z_source='noise' requires z")

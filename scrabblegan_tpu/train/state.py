@@ -60,6 +60,10 @@ class TrainState(struct.PyTreeNode):
 
 def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> ModelBundle:
     dtype = jnp.bfloat16 if cfg.shared.dtype == "bfloat16" else jnp.float32
+    # BN-free trunks (D, W, G's style encoder) may run a different compute
+    # dtype (config.SharedSpecs.trunk_dtype); param dtype is f32 either way.
+    trunk = getattr(cfg.shared, "trunk_dtype", "") or cfg.shared.dtype
+    trunk_dtype = jnp.bfloat16 if trunk == "bfloat16" else jnp.float32
     use_sn = cfg.shared.kernel_reg == "spectral_norm"
     h, _, c = cfg.io.input_dim
     if use_pallas_attention is None:
@@ -80,15 +84,16 @@ def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> Model
         # (== n_classes) gets its own filter-bank row
         num_pad_tokens=1 if cfg.parallel.shape_mode == "padded" else 0,
         dtype=dtype,
+        style_encoder_dtype=trunk_dtype,
     )
     if cfg.shared.my_disc:
-        discriminator = DCGANDiscriminator(use_sn=use_sn, dtype=dtype)
+        discriminator = DCGANDiscriminator(use_sn=use_sn, dtype=trunk_dtype)
     else:
         discriminator = Discriminator(
             blocks_with_attention=cfg.shared.d_bw_attention,
             use_sn=use_sn,
             use_pallas_attention=use_pallas_attention,
-            dtype=dtype,
+            dtype=trunk_dtype,
         )
     rec_cls = BiLSTMRecognizer if cfg.shared.my_rec else Recognizer
     recognizer = rec_cls(num_classes=cfg.io.n_classes + 1, dtype=dtype)
@@ -96,7 +101,7 @@ def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> Model
         blocks_with_attention=cfg.shared.d_bw_attention,
         use_sn=use_sn,
         use_pallas_attention=use_pallas_attention,
-        dtype=dtype,
+        dtype=trunk_dtype,
     )
     return ModelBundle(generator, discriminator, recognizer, style_promoter)
 

@@ -107,6 +107,14 @@ RUNS = {
     "pmmix": {"parallel.shape_mode": "padded",
               "parallel.bucket_pairing": "matched",
               "parallel.batch_mix": "sample"},
+    # the recommended regime (configs/recommended.json) + trunk_dtype bf16
+    # (BN-free D/W/StyleEncoder trunks in bf16, +4.7% step rate measured on
+    # v5e) — the no-regression gate for making trunk-bf16 the throughput
+    # default; A/B vs pmema (same regime, f32 trunks)
+    "pmtb": {"parallel.shape_mode": "padded",
+             "parallel.bucket_pairing": "matched",
+             "optimizer.g_ema_decay": 0.999,
+             "shared.trunk_dtype": "bfloat16"},
 }
 
 # Arms that train on the length-skewed variant of the synthetic dataset
