@@ -238,11 +238,18 @@ def _trainer_cfg(length):
     """The EXACT config the e2e Trainer runs (modulo loop-only io.* knobs):
     sharing this between the raw sections and the e2e section makes the e2e
     step compile a persistent-cache disk hit instead of a cold remote
-    compile (see module docstring)."""
+    compile (see module docstring).
+
+    trunk_dtype='bfloat16' is the recommended throughput configuration
+    (configs/recommended.json): BN-free trunks (D/W/StyleEncoder) in bf16,
+    +4.7% step rate on v5e, quality-gated by the pmtb campaign arm
+    (docs/QUALITY.md — ep4-10 rFID band 52-97 vs pmema's f32 61-165,
+    CER(gen) <= 0.12% every epoch past 1)."""
     from scrabblegan_tpu.config import load_config
 
     return load_config(None, {"shared.batch_size": 16, "io.seq_len": length,
-                              "shared.num_gen": 4})
+                              "shared.num_gen": 4,
+                              "shared.trunk_dtype": "bfloat16"})
 
 
 def _bench_train_step(jax, jnp, tpu_dev, cpu_dev, log, length=5):
