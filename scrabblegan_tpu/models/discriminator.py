@@ -105,7 +105,9 @@ class DCGANDiscriminator(nn.Module):
                 net = NonLocalBlock(use_sn=self.use_sn, dtype=self.dtype,
                                     name="attn_B1")(net, train)
         net = nn.leaky_relu(net, negative_slope=0.3)
-        net = jnp.mean(net, axis=(1, 2))
+        # GAP accumulates in f32 so a bf16 trunk doesn't lose the sum's low
+        # bits (same rule as _DownTrunk above)
+        net = jnp.mean(net.astype(jnp.float32), axis=(1, 2))
         logit = SNDense(1, use_bias=False, use_sn=self.use_sn, dtype=self.dtype,
                         name="head")(net, train)
         return logit[:, 0].astype(jnp.float32)

@@ -59,10 +59,18 @@ class TrainState(struct.PyTreeNode):
 
 
 def build_models(cfg: Config, use_pallas_attention: bool | None = None) -> ModelBundle:
+    if cfg.shared.dtype not in ("float32", "bfloat16"):
+        raise ValueError(f"shared.dtype must be 'float32' or 'bfloat16', "
+                         f"got {cfg.shared.dtype!r}")
     dtype = jnp.bfloat16 if cfg.shared.dtype == "bfloat16" else jnp.float32
     # BN-free trunks (D, W, G's style encoder) may run a different compute
     # dtype (config.SharedSpecs.trunk_dtype); param dtype is f32 either way.
     trunk = getattr(cfg.shared, "trunk_dtype", "") or cfg.shared.dtype
+    if trunk not in ("float32", "bfloat16"):
+        # ADVICE r4: a typo'd value ('bf16', 'float16') must not silently
+        # train f32 while the config claims bf16
+        raise ValueError(f"shared.trunk_dtype must be '', 'float32' or "
+                         f"'bfloat16', got {cfg.shared.trunk_dtype!r}")
     trunk_dtype = jnp.bfloat16 if trunk == "bfloat16" else jnp.float32
     use_sn = cfg.shared.kernel_reg == "spectral_norm"
     h, _, c = cfg.io.input_dim

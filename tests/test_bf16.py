@@ -133,3 +133,22 @@ class TestTrunkDtype:
         new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
         for k, v in metrics.items():
             assert np.isfinite(float(v)), k
+
+
+class TestDCGANTrunkBf16:
+    """ADVICE r4: the my_disc=1 DCGAN variant's GAP must accumulate in f32
+    under a bf16 trunk, mirroring _DownTrunk's rule."""
+
+    def test_close_to_f32_and_head_f32(self):
+        from scrabblegan_tpu.models import DCGANDiscriminator
+
+        rng = np.random.default_rng(2)
+        imgs = rng.uniform(-1, 1, (B, 32, 32, 1)).astype(np.float32)
+        d32 = DCGANDiscriminator(dtype=jnp.float32)
+        dtb = DCGANDiscriminator(dtype=jnp.bfloat16)
+        v = d32.init(jax.random.PRNGKey(0), jnp.zeros((B, 32, 32, 1)), False)
+        a = d32.apply(v, imgs, False)
+        b = dtb.apply(v, imgs, False)
+        assert a.dtype == b.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.05)

@@ -94,3 +94,36 @@ class TestDiscovery:
         sub.mkdir()
         assert discover_config(str(sub), max_up=0) is None
         assert discover_config(str(tmp_path), max_up=0) is not None
+
+
+class TestDtypeValidation:
+    """ADVICE r4: a typo'd compute dtype must raise, not silently run f32."""
+
+    def test_bad_trunk_dtype_rejected(self):
+        import pytest
+
+        from scrabblegan_tpu.config import apply_overrides
+        from scrabblegan_tpu.train.state import build_models
+
+        for bad in ("bf16", "float16", "half"):
+            cfg = apply_overrides(Config(), {"shared.trunk_dtype": bad})
+            with pytest.raises(ValueError, match="trunk_dtype"):
+                build_models(cfg)
+
+    def test_bad_dtype_rejected(self):
+        import pytest
+
+        from scrabblegan_tpu.config import apply_overrides
+        from scrabblegan_tpu.train.state import build_models
+
+        cfg = apply_overrides(Config(), {"shared.dtype": "fp32"})
+        with pytest.raises(ValueError, match="shared.dtype"):
+            build_models(cfg)
+
+    def test_good_values_accepted(self):
+        from scrabblegan_tpu.config import apply_overrides
+        from scrabblegan_tpu.train.state import build_models
+
+        for good in ("", "float32", "bfloat16"):
+            cfg = apply_overrides(Config(), {"shared.trunk_dtype": good})
+            build_models(cfg)
