@@ -86,6 +86,19 @@ def state_sharding_for(cfg: Config, mesh: Mesh, state_shapes=None):
                            min_size=cfg.parallel.fsdp_min_size)
 
 
+# Process-level memo: the SAME jitted callable for the same (config, models,
+# mesh, flags). Two call sites building identical steps (bench.py's raw train
+# section and its e2e Trainer; a Trainer restarted in-process) then share one
+# XLA compilation through jax's in-memory executable cache. This matters
+# because the PERSISTENT cache cannot provide that sharing on the axon
+# backend: a disk "hit" deserializes the executable through the tunnel at
+# ~70 s per executable — 10-100x a plain cold compile (measured 2026-08-21:
+# trivial jit 1.9 s cold-uncached vs 210 s cache-hit; utils/cache.py).
+# Config/ModelBundle/Mesh are frozen dataclasses with value hashing (tested:
+# tests/test_step_memo.py).
+_STEP_MEMO: dict = {}
+
+
 def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
                              donate: bool = True, chunked: bool = False,
                              state_shapes=None):
@@ -98,7 +111,23 @@ def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
     (K, 2) key stack — one dispatch runs K sequential steps (lax.scan); batch
     data stays sharded on its SECOND axis (the per-step batch axis).
     state_shapes: TrainState eval_shape pytree, required for fsdp (per-leaf
-    sharding specs)."""
+    sharding specs). Memoized per process (see _STEP_MEMO note) when
+    state_shapes is None — with fsdp/tp the shapes pytree isn't hashable, and
+    those flows build the step exactly once anyway."""
+    memo_key = None
+    if state_shapes is None:
+        try:
+            # key on the config groups the traced step actually reads
+            # (train/step.py: optimizer.*, shared.*, parallel.*) — io.* holds
+            # loop-only knobs (paths, ckpt cadence, logging) that must not
+            # defeat sharing between e.g. bench.py's raw and e2e sections
+            memo_key = (cfg.optimizer, cfg.shared, cfg.parallel,
+                        models, mesh, donate, chunked)
+            hash(memo_key)
+        except TypeError:
+            memo_key = None
+    if memo_key is not None and memo_key in _STEP_MEMO:
+        return _STEP_MEMO[memo_key]
     rep = replicate_sharding(mesh)
     if chunked:
         step = make_chunked_train_step(cfg, models)
@@ -107,9 +136,12 @@ def make_parallel_train_step(cfg: Config, models: ModelBundle, mesh: Mesh,
         step = make_train_step(cfg, models)
         bsh = batch_sharding(mesh)
     ssh = state_sharding_for(cfg, mesh, state_shapes)
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(ssh, bsh, rep),
         out_shardings=(ssh, rep),
         donate_argnums=(0,) if donate else (),
     )
+    if memo_key is not None:
+        _STEP_MEMO[memo_key] = jitted
+    return jitted
