@@ -183,8 +183,19 @@ class IOConfig:
     # always saved). The per-epoch generator-only export (the reference's
     # save_weights parity, data_utils.py:346-348) is unaffected. On a remote
     # TPU tunnel the full-state D2H fetch is ~GBs — raise this when resume
-    # granularity matters less than wall clock.
+    # granularity matters less than wall clock, or set 0 to disable full-state
+    # checkpoints entirely (no resume; bench.py's e2e section uses this — the
+    # final-state fetch alone costs ~2 min over the tunnel).
     ckpt_every: int = 1
+    # Per-epoch export quality gate (eval/gate.py, VERDICT r4 item 5): number
+    # of generated samples scored with the calibrated deterministic rfid_rand
+    # metric after every export. The flag (ok/suspect) is written to
+    # model/generator/quality_<epoch>.json and the newest 'ok' epoch is kept
+    # under the model/generator/latest_good symlink, so a serving consumer
+    # never picks up a transiently-broken export (EMA warm-up / D-skirmish
+    # epochs). Costs one extra jitted G forward + a tiny fixed conv extractor
+    # per epoch. 0 disables (reference parity: unconditional exports).
+    export_quality_samples: int = 64
     # Stall self-heal (utils/watchdog.py): if > 0, Trainer.train exits the
     # process with code 86 when no step/fetch completes for this many seconds
     # (the remote tunnel can lose a dispatched result, blocking device_get
@@ -197,11 +208,14 @@ class IOConfig:
     # epoch-artifact save: a cold XLA compile legitimately blocks with zero
     # observable progress (measured >15 min for the padded 4-network step on
     # the remote compile service), which would otherwise trip stall_timeout_s.
-    # Only meaningful when stall_timeout_s > 0. Worst-case stall DETECTION
-    # latency: a real lost-dispatch stall that lands on a first-of-signature
-    # dispatch is only caught after compile_grace_s + stall_timeout_s
-    # (~45-60 min at the defaults) — bucketed runs with many signatures re-arm
-    # the grace once per new signature, padded runs exactly once.
+    # Only meaningful when stall_timeout_s > 0. The grace window is NOT blind
+    # (utils/watchdog.py probed grace): a scalar device round-trip probe fires
+    # every stall_timeout_s/2 during the window, so a backend that dies
+    # mid-compile is caught within ~1.5x stall_timeout_s instead of
+    # compile_grace_s + stall_timeout_s (~45-60 min at the defaults, the
+    # pre-round-5 worst case). The full grace still bounds a healthy-but-slow
+    # compile. Bucketed runs re-arm the grace once per new signature, padded
+    # runs exactly once.
     compile_grace_s: float = 2700.0
 
 

@@ -18,6 +18,7 @@ redesigned TPU-first:
 from __future__ import annotations
 
 import os
+import sys
 import queue
 import threading
 import time
@@ -45,6 +46,23 @@ from scrabblegan_tpu.train.metrics import SummaryWriter
 from scrabblegan_tpu.train.step import METRIC_NAMES
 from scrabblegan_tpu.train.state import TrainState, build_models, create_train_state, param_count
 from scrabblegan_tpu.utils.viz import make_gif, save_epoch_grid
+
+
+def bucketed_regime_warning(cfg: Config, epochs: int):
+    """Loud-flag string for multi-epoch bucketed runs, else None.
+
+    Every bucketed arm of the 12-arm quality campaign collapsed past ~1 epoch
+    (D saturates, rFID 759->3041, CER 1.0) while the padded regime trains
+    stably on the same data — docs/QUALITY.md rounds 3-4. Bucketed stays
+    available for reference-exact shape semantics, but a long run in it
+    deserves a loud flag (VERDICT r4 item 4)."""
+    if cfg.parallel.shape_mode != "bucketed" or epochs <= 1:
+        return None
+    return ("=" * 72 + "\nWARNING: parallel.shape_mode='bucketed' is the "
+            "measured-UNSTABLE training\nregime beyond ~1 epoch (every "
+            "bucketed quality-campaign arm collapsed;\nsee docs/QUALITY.md). "
+            "Use configs/recommended.json or --set\n"
+            "parallel.shape_mode=padded for the stable regime.\n" + "=" * 72)
 
 
 class _Prefetcher:
@@ -384,6 +402,12 @@ class Trainer:
         if batches_per_epoch is None:
             batches_per_epoch = int(cfg.io.buf_size / cfg.shared.batch_size) + 1
 
+        warning = bucketed_regime_warning(cfg, epochs)
+        if warning:
+            # stderr: stdout may carry machine-readable output (bench.py's
+            # JSON stream drives the e2e section through this loop)
+            print(warning, file=sys.stderr, flush=True)
+
         # Stall self-heal: the tunnel backend can lose a dispatched result,
         # blocking the next device_get forever (utils/watchdog.py). Exit 86
         # lets a supervisor retry; resume picks up from the last checkpoint.
@@ -395,11 +419,19 @@ class Trainer:
         # healthy c4sk first-run killed at exactly 900s during init).
         watchdog = None
         if cfg.io.stall_timeout_s:
-            from scrabblegan_tpu.utils.watchdog import StallWatchdog
+            from scrabblegan_tpu.utils.watchdog import (
+                StallWatchdog,
+                device_roundtrip_probe,
+            )
 
+            # the liveness probe discriminates compile-in-progress from a
+            # dead backend during grace windows (VERDICT r4 item 9): a stall
+            # landing on a cold compile is now caught in <= 2x stall_timeout
+            # instead of compile_grace + stall_timeout (~45-60 min)
             watchdog = StallWatchdog(
                 cfg.io.stall_timeout_s,
-                touch_file=os.path.join(self.workdir, ".heartbeat")).start()
+                touch_file=os.path.join(self.workdir, ".heartbeat"),
+                probe=device_roundtrip_probe()).start()
             # covers the init compiles AND a multi-GB checkpoint restore fetch
             watchdog.grace(cfg.io.compile_grace_s)
 
@@ -591,10 +623,12 @@ class Trainer:
         save_epoch_grid(np.asarray(imgs), self.seed_labels, self.gen_path, epoch,
                         self.cfg.io.char_vec)
         # Full-state fetch is ~GBs over a remote-tunnel backend; honor
-        # io.ckpt_every (final epoch always saved), and reuse the host copy
-        # for the G-only export instead of fetching G twice.
+        # io.ckpt_every (final epoch always saved; 0 disables full-state
+        # checkpoints entirely), and reuse the host copy for the G-only
+        # export instead of fetching G twice.
         host_state = None
-        if final or epoch % max(1, int(self.cfg.io.ckpt_every)) == 0:
+        ckpt_every = int(self.cfg.io.ckpt_every)
+        if ckpt_every > 0 and (final or epoch % ckpt_every == 0):
             host_state = jax.device_get(state)
             ckpt_lib.save_state(self.ckpt_path, host_state,
                                 int(host_state.step))
@@ -620,6 +654,73 @@ class Trainer:
                 r_params, r_stats = jax.device_get(
                     (state.r_params, state.r_stats))
             ckpt_lib.save_recognizer(self.model_path, r_params, r_stats, epoch)
+        # quality gate (VERDICT r4 item 5): flag the export with the
+        # calibrated rfid_rand and keep latest_good pointing at the newest
+        # non-suspect epoch. A metric failure must never kill training.
+        if (self.cfg.io.export_quality_samples > 0
+                and getattr(self, "dataset", None) is not None):
+            try:
+                result = self._gate_export(state, serve_stats, epoch)
+                if self.verbose and result is not None:
+                    print(f"export gate epoch {epoch}: {result['flag']} "
+                          f"(rfid_rand {result['rfid_rand']:.2f}, floor "
+                          f"{result['real_floor']:.2f}, excess "
+                          f"{result['excess']:.2f})")
+            except Exception as e:  # noqa: BLE001
+                print(f"export gate failed (export kept, unflagged): {e!r}")
+
+    def _gate_export(self, state: TrainState, serve_stats, epoch: int):
+        """Score this epoch's export with the calibrated deterministic
+        rfid_rand gate (eval/gate.py) and annotate the export dir.
+
+        Everything is drawn from a PRIVATE fixed-seed rng — the training batch
+        stream (dataset._rng / np_rng) must not advance, or adding the gate
+        would change training numerics. Images are gathered straight from the
+        dataset's uint8 store rather than via sample_batch for the same
+        reason. Returns the result dict, or None when the chosen bucket has
+        no real samples."""
+        from scrabblegan_tpu.eval.gate import annotate_export, score_export
+
+        cfg = self.cfg
+        n = int(cfg.io.export_quality_samples)
+        gate_rng = np.random.default_rng(cfg.seed + 0xE0)
+        # the grid's word length keeps gen/real shapes equal; fall back to the
+        # most-populated bucket if that length has no real data
+        bucket = int(self.seed_labels.shape[1])
+        if len(self.dataset.labels.get(bucket, ())) == 0:
+            bucket = max(self.dataset.nonempty,
+                         key=lambda b: len(self.dataset.labels[b]))
+        # generate in chunks of the GRID batch size: when the gate bucket is
+        # the grid's word length (the common case), every chunk reuses the
+        # epoch grid's compiled shape — no second inference compile on the
+        # remote backend
+        k = max(1, int(cfg.shared.num_gen))
+        chunks = []
+        for _ in range((n + k - 1) // k):
+            labels = sample_fake_labels(gate_rng, self.random_words, k, bucket)
+            if cfg.shared.z_source == "style":
+                idx = gate_rng.integers(0, len(self.style_validate), size=k)
+                cond = np.stack([self.style_validate[i]
+                                 for i in idx])[..., None].astype(np.float32)
+                out = self.generate(state, labels, style_imgs=cond,
+                                    stats=serve_stats)
+            else:
+                z = gate_rng.standard_normal(
+                    (k, cfg.shared.latent_dim)).astype(np.float32)
+                out = self.generate(state, labels, z=z, stats=serve_stats)
+            chunks.append(np.asarray(jax.device_get(out)).astype(np.float32))
+        gen = np.concatenate(chunks, 0)[:n]
+        store = self.dataset.images[bucket]
+        ridx = gate_rng.integers(0, len(store), size=2 * n)
+        real = store[ridx].astype(np.float32)
+        real = (real - 127.5) / 127.5
+        if getattr(self, "_gate_extractor", None) is None:
+            from scrabblegan_tpu.eval.fid import random_features
+
+            self._gate_extractor = random_features()
+        result = score_export(gen, real, extractor=self._gate_extractor)
+        annotate_export(self.model_path, epoch, result)
+        return result
 
     def standing_stats(self, state: TrainState, n_batches: int | None = None):
         """BigGAN standing statistics (arXiv:1809.11096 sec. 3): refresh G's BN

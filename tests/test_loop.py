@@ -95,6 +95,44 @@ class TestTrainRun:
         logits = trainer.models.recognizer.apply(variables, imgs, train=False)
         assert logits.shape == (2, 4 * 3 - 1, 53)
 
+    def test_ckpt_every_zero_disables_full_state_saves(self, trained):
+        """io.ckpt_every=0: no full-state checkpoint even on the final epoch
+        (bench.py's e2e section — the final-state fetch is ~2 min over the
+        tunnel); exports still written."""
+        trainer, state = trained
+        before = set(os.listdir(trainer.ckpt_path))
+        saved_cfg = trainer.cfg
+        try:
+            trainer.cfg = dataclasses.replace(
+                saved_cfg, io=dataclasses.replace(saved_cfg.io, ckpt_every=0,
+                                                  export_quality_samples=0))
+            trainer.save_epoch_artifacts(state, epoch=7, final=True)
+        finally:
+            trainer.cfg = saved_cfg
+        assert set(os.listdir(trainer.ckpt_path)) == before  # no new ckpt
+        # the G export for epoch 7 still landed
+        assert os.path.isdir(os.path.join(trainer.model_path, "generator", "7"))
+
+    def test_export_quality_gate(self, trained):
+        """VERDICT r4 item 5: every export gets a calibrated rfid_rand flag
+        file, and latest_good tracks the newest non-suspect epoch."""
+        import json
+
+        trainer, _ = trained
+        path = os.path.join(trainer.model_path, "generator", "quality_1.json")
+        assert os.path.exists(path)
+        with open(path) as f:
+            res = json.load(f)
+        assert res["flag"] in ("ok", "suspect")
+        assert res["metric"] == "rfid_rand"
+        from scrabblegan_tpu.eval import latest_good_export
+
+        lg = latest_good_export(trainer.model_path)
+        if res["flag"] == "ok":
+            assert lg is not None and lg.endswith(os.sep + "1")
+        else:
+            assert lg is None
+
     def test_workdir_is_self_describing(self, trained, cfg, workdir):
         """config.json lands in the workdir, checkpoint dir, and model dir and
         round-trips to the exact training config (VERDICT r2 item 2)."""
@@ -289,4 +327,10 @@ class TestTrainRun:
         for r in rows:
             for key in ("rfid", "cer_real", "cer_gen"):
                 assert key in r and np.isfinite(r[key]), (r, key)
-            assert 0.0 <= r["cer_gen"] <= 1.0 and 0.0 <= r["cer_real"] <= 1.0
+            # CER is edit_distance / target_len, which an undertrained R can
+            # push past 1.0 via insertions (observed 1.125 on this 2-step
+            # fixture) — bound by the decode's structural ceiling instead:
+            # at most T = 4*len - 1 frames can each contribute one edit
+            ceiling = (4 * r["bucket"] - 1) / r["bucket"]
+            assert 0.0 <= r["cer_gen"] <= ceiling
+            assert 0.0 <= r["cer_real"] <= ceiling
