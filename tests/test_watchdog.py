@@ -94,3 +94,79 @@ class TestStallWatchdog:
         assert "compile_grace_s" in src and "grace_for_new_shape(batch)" in src
         assert ".heartbeat" in src  # outer-supervisor liveness file
         assert IOConfig().compile_grace_s > 0
+
+
+class TestProbedGrace:
+    """VERDICT r4 item 9: during an announced grace window the watchdog fires
+    a backend-liveness probe — compile-in-progress (probe answers) holds the
+    grace; a dead backend (probe hangs/raises) is caught in ~probe_interval +
+    probe_timeout instead of waiting out grace + timeout."""
+
+    def test_hung_probe_fires_fast_inside_grace(self):
+        # grace 300s would hold ~300.3s without probing; a hung probe must
+        # fire at ~interval(0.2) + probe_timeout(0.4) << grace
+        code = (
+            "import time\n"
+            "from scrabblegan_tpu.utils.watchdog import StallWatchdog\n"
+            "wd = StallWatchdog(timeout_s=0.4,\n"
+            "                   probe=lambda: time.sleep(999)).start()\n"
+            "wd.grace(300.0)\n"
+            "time.sleep(30)\n"
+        )
+        t0 = time.time()
+        proc = subprocess.run([sys.executable, "-c", code], timeout=30,
+                              capture_output=True, text=True)
+        assert proc.returncode == STALL_EXIT_CODE
+        assert "liveness probe failed" in proc.stderr
+        assert time.time() - t0 < 15  # 2x timeout_s + interpreter startup
+
+    def test_raising_probe_counts_as_dead(self):
+        code = (
+            "import time\n"
+            "from scrabblegan_tpu.utils.watchdog import StallWatchdog\n"
+            "def probe():\n"
+            "    raise RuntimeError('tunnel gone')\n"
+            "wd = StallWatchdog(timeout_s=0.4, probe=probe).start()\n"
+            "wd.grace(300.0)\n"
+            "time.sleep(30)\n"
+        )
+        proc = subprocess.run([sys.executable, "-c", code], timeout=30,
+                              capture_output=True, text=True)
+        assert proc.returncode == STALL_EXIT_CODE
+        assert "treating as backend failure" in proc.stderr
+
+    def test_healthy_probe_holds_grace(self):
+        # probes answer -> the long "compile" (sleep) survives the whole
+        # grace window; a beat then ends the run cleanly
+        code = (
+            "import time\n"
+            "from scrabblegan_tpu.utils.watchdog import StallWatchdog\n"
+            "wd = StallWatchdog(timeout_s=0.4, probe=lambda: 1.0).start()\n"
+            "wd.grace(2.0)\n"
+            "time.sleep(1.8)\n"          # several probe intervals pass
+            "wd.beat(); wd.stop()\n"
+            "print('compile-survived', flush=True)\n"
+        )
+        proc = subprocess.run([sys.executable, "-c", code], timeout=30,
+                              capture_output=True, text=True)
+        assert proc.returncode == 0
+        assert "compile-survived" in proc.stdout
+
+    def test_no_probe_keeps_old_semantics(self):
+        # without a probe, grace defers firing exactly as before
+        wd = StallWatchdog(timeout_s=5.0)
+        wd.grace(1000.0)
+        assert wd.probe is None
+
+    def test_device_roundtrip_probe_completes(self):
+        from scrabblegan_tpu.utils.watchdog import device_roundtrip_probe
+
+        assert device_roundtrip_probe()() == 1.0
+
+    def test_trainer_passes_probe(self):
+        import inspect
+
+        from scrabblegan_tpu.train import loop
+
+        src = inspect.getsource(loop.Trainer.train)
+        assert "device_roundtrip_probe" in src
