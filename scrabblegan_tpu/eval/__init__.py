@@ -5,6 +5,11 @@ from scrabblegan_tpu.eval.fid import (
     recognizer_features,
 )
 from scrabblegan_tpu.eval.decode import greedy_ctc_decode, character_error_rate
+from scrabblegan_tpu.eval.gate import (
+    annotate_export,
+    latest_good_export,
+    score_export,
+)
 
 __all__ = [
     "frechet_distance",
@@ -13,4 +18,7 @@ __all__ = [
     "compute_rfid",
     "greedy_ctc_decode",
     "character_error_rate",
+    "score_export",
+    "annotate_export",
+    "latest_good_export",
 ]

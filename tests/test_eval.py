@@ -129,3 +129,64 @@ class TestRandomFeatures:
         w80 = ex(np.zeros((2, 32, 80, 1), np.float32))
         w160 = ex(np.zeros((2, 32, 160, 1), np.float32))
         assert w80.shape == w160.shape == (2, 512)
+
+
+class TestExportGate:
+    """eval/gate.py (VERDICT r4 item 5): calibrated rfid_rand gate over
+    per-epoch exports, with the same-sample-count real-vs-real floor
+    correcting small-batch Fréchet bias."""
+
+    @pytest.fixture(scope="class")
+    def word_images(self):
+        # synthetic "handwriting": dark strokes on white canvases
+        rng = np.random.default_rng(7)
+        imgs = np.ones((192, 32, 80, 1), np.float32)
+        for i in range(len(imgs)):
+            n_strokes = rng.integers(3, 8)
+            for _ in range(n_strokes):
+                x = rng.integers(0, 76)
+                y = rng.integers(0, 28)
+                imgs[i, y:y + 4, x:x + 4, 0] = -1.0 + rng.uniform(0, 0.3)
+        return imgs
+
+    def test_real_vs_real_is_ok(self, word_images):
+        from scrabblegan_tpu.eval import score_export
+
+        res = score_export(word_images[:64], word_images[64:192])
+        assert res["flag"] == "ok"
+        assert res["excess"] < res["threshold"]
+
+    def test_garbage_is_suspect(self, word_images):
+        from scrabblegan_tpu.eval import score_export
+
+        rng = np.random.default_rng(8)
+        garbage = rng.uniform(-1, 1, (64, 32, 80, 1)).astype(np.float32)
+        res = score_export(garbage, word_images[:128])
+        assert res["flag"] == "suspect"
+        assert res["excess"] > res["threshold"]
+
+    def test_annotate_and_latest_good(self, tmp_path):
+        from scrabblegan_tpu.eval import annotate_export, latest_good_export
+
+        model_dir = str(tmp_path)
+        gen_root = tmp_path / "generator"
+        for epoch in (1, 2, 3):
+            (gen_root / str(epoch)).mkdir(parents=True)
+        annotate_export(model_dir, 1, {"flag": "ok"})
+        assert latest_good_export(model_dir).endswith("/1")
+        annotate_export(model_dir, 2, {"flag": "suspect"})
+        # a suspect epoch must NOT advance the symlink
+        assert latest_good_export(model_dir).endswith("/1")
+        annotate_export(model_dir, 3, {"flag": "ok"})
+        assert latest_good_export(model_dir).endswith("/3")
+        import json
+        import os
+
+        assert os.path.exists(str(gen_root / "quality_2.json"))
+        with open(str(gen_root / "quality_2.json")) as f:
+            assert json.load(f)["flag"] == "suspect"
+
+    def test_no_gate_no_link(self, tmp_path):
+        from scrabblegan_tpu.eval import latest_good_export
+
+        assert latest_good_export(str(tmp_path)) is None
