@@ -135,14 +135,22 @@ class BucketedDataset:
             yield imgs, labs
 
 
-def _fit_width(img: np.ndarray, h: int, w: int) -> np.ndarray:
-    """Right-crop or white-pad to exactly (h, w) (data_utils.py:146-155)."""
-    width = img.shape[-1]
+def _fit_canvas(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Right-crop or white-pad to exactly (h, w) (data_utils.py:146-155).
+
+    Width: crop from the right or pad with white (255). Height: the reference's
+    train split always resizes to exactly h, but its VALIDATE split width-fits
+    wide images leaving height int(ht*rate) < h with NO re-fit (and no assert
+    in that loop, data_utils.py:179-189 — downstream np.stack of the fixed
+    seed would fail on a ragged list). The static-shape pipeline here
+    bottom-pads the height with white instead, keeping the resize algebra
+    reference-exact while every output stays (h, w)."""
+    height, width = img.shape
     if width > w:
-        return img[:, :w]
-    if width < w:
+        img = img[:, :w]
+    if img.shape != (h, w):
         out = np.ones((h, w), np.float32) * 255.0
-        out[:, :width] = img
+        out[:height, : img.shape[1]] = img
         return out
     return img
 
@@ -151,27 +159,42 @@ def load_style_images(style_dir: str, input_dim: Tuple[int, int, int],
                       train_fraction: float = 0.95, seed: int = 0
                       ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
     """Load the target-style handwriting folder -> (train, validate) lists of
-    (32, 160) float arrays in [-1, 1]."""
+    (32, 160) float arrays in [-1, 1].
+
+    Split aspect rules match the reference exactly (VERDICT r4 item 8):
+    - train (data_utils.py:142-145): height-fit — rate = h/ht, INTER_AREA,
+      then right-crop / white-pad the width.
+    - validate (data_utils.py:173-179): rate = min(h/ht, w/wt), INTER_CUBIC —
+      a wide image (w/wt < h/ht) is WIDTH-fit to exactly w with height
+      int(ht*rate) <= h (then white-padded to the static canvas, see
+      _fit_canvas)."""
     h, w, _c = input_dim
     files = sorted(os.listdir(style_dir))
     rng = np.random.default_rng(seed)
     rng.shuffle(files)
     split = int(len(files) * train_fraction)
 
-    def _load(fn: str, quality: str) -> np.ndarray | None:
+    def _load(fn: str, quality: str, validate_rule: bool) -> np.ndarray | None:
         img = read_grayscale(os.path.join(style_dir, fn))
         if img is None:
             return None
         ht, wt = img.shape
-        rate = h / float(ht)
-        resized = resize(img.astype(np.float32), max(1, int(wt * rate)), h,
-                         quality=quality)
-        final = _fit_width(resized.astype(np.float32), h, w)
+        if validate_rule and w / float(wt) < h / float(ht):
+            # wide image under the validate rule: width-fit, height shrinks
+            rate = w / float(wt)
+            new_w, new_h = w, max(1, int(ht * rate))
+        else:
+            rate = h / float(ht)
+            new_w, new_h = max(1, int(wt * rate)), h
+        resized = resize(img.astype(np.float32), new_w, new_h, quality=quality)
+        final = _fit_canvas(resized.astype(np.float32), h, w)
         assert final.shape == (h, w)
         return (final - 127.5) / 127.5
 
-    train = [x for fn in files[:split] if (x := _load(fn, "area")) is not None]
-    validate = [x for fn in files[split:] if (x := _load(fn, "cubic")) is not None]
+    train = [x for fn in files[:split]
+             if (x := _load(fn, "area", False)) is not None]
+    validate = [x for fn in files[split:]
+                if (x := _load(fn, "cubic", True)) is not None]
     return train, validate
 
 

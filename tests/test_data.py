@@ -172,6 +172,45 @@ class TestStyleLoader:
         np.testing.assert_allclose(out[:, -10:], 1.0)  # white padding
         np.testing.assert_allclose(out[:, :10], -1.0)  # black content
 
+    def test_validate_aspect_rule_wide_image(self, tmp_path):
+        """VERDICT r4 item 8: the validate split uses rate = min(h/ht, w/wt)
+        (reference data_utils.py:173-179) — a WIDE image is width-fit to
+        exactly 160 with height int(ht*rate) < 32, NOT height-fit-then-
+        cropped. Pin both splits' algebra on the same wide source."""
+        # 64x1280: h/ht = 0.5, w/wt = 0.125 -> validate rate 0.125,
+        # resized to (8, 160); train rate 0.5 -> (32, 640) right-cropped.
+        img = np.zeros((64, 1280), np.float32)  # all black, very wide
+        write_grayscale(str(tmp_path / "wide.png"), img)
+
+        train, _ = load_style_images(str(tmp_path), (32, 160, 1),
+                                     train_fraction=1.0)
+        t = train[0]
+        assert t.shape == (32, 160)
+        np.testing.assert_allclose(t, -1.0)  # height-fit: crop is still black
+
+        _, validate = load_style_images(str(tmp_path), (32, 160, 1),
+                                        train_fraction=0.0)
+        v = validate[0]
+        assert v.shape == (32, 160)
+        # width-fit: rows 0..7 are the black content, rows 8.. white padding
+        np.testing.assert_allclose(v[:8], -1.0)
+        np.testing.assert_allclose(v[8:], 1.0)
+
+    def test_validate_rule_matches_train_for_narrow(self, tmp_path):
+        """Narrow images (h/ht <= w/wt) take the SAME height-fit branch in
+        both splits (only the interpolation differs: area vs cubic)."""
+        rng = np.random.default_rng(3)
+        img = rng.uniform(0, 255, (64, 80)).astype(np.float32)
+        write_grayscale(str(tmp_path / "n.png"), img)
+        train, _ = load_style_images(str(tmp_path), (32, 160, 1),
+                                     train_fraction=1.0)
+        _, validate = load_style_images(str(tmp_path), (32, 160, 1),
+                                        train_fraction=0.0)
+        assert train[0].shape == validate[0].shape == (32, 160)
+        # identical white padding region (content width 40 both ways)
+        np.testing.assert_allclose(train[0][:, 40:], 1.0)
+        np.testing.assert_allclose(validate[0][:, 40:], 1.0)
+
 
 class TestLexicon:
     def test_bucketing_and_filtering(self, tmp_path):

@@ -19,9 +19,27 @@ import os
 import sys
 
 
+def resolve_default_config() -> str | None:
+    """The config used when --config is not given: configs/recommended.json —
+    the quality-recommended regime (padded shape mode + EMA + trunk-bf16).
+
+    The library dataclass defaults keep exact reference semantics
+    (parallel.shape_mode='bucketed'), but the 12-arm quality campaign showed
+    that regime COLLAPSES past ~1 epoch on every arm while the padded regime
+    trains stably (docs/QUALITY.md rounds 3-4) — so the bare CLI must not ship
+    it as the silent default. `--config none` opts back into the
+    reference-exact defaults."""
+    candidate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "configs", "recommended.json")
+    return candidate if os.path.isfile(candidate) else None
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--config", default=None,
+                   help="JSON config file (default: configs/recommended.json, "
+                        "the quality-recommended regime; pass 'none' for the "
+                        "reference-exact library defaults)")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="dotted config override, e.g. optimizer.g_lr=1e-4")
     p.add_argument("--workdir", default=None, help="output root (default io.base_path)")
@@ -43,7 +61,15 @@ def main(argv=None):
     apply_env_platform()
     from scrabblegan_tpu.config import load_config
     overrides = dict(kv.split("=", 1) for kv in args.set)
-    cfg = load_config(args.config, overrides)
+    config_path = args.config
+    if config_path is None:
+        config_path = resolve_default_config()
+        if config_path:
+            print(f"using {config_path} (the quality-recommended regime); "
+                  f"pass --config none for reference-exact defaults")
+    elif config_path.lower() in ("none", ""):
+        config_path = None
+    cfg = load_config(config_path, overrides)
 
     from scrabblegan_tpu.utils.cache import enable_compilation_cache
 
