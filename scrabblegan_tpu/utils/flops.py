@@ -85,8 +85,59 @@ def _maybe_nested_flops(value: Any) -> int:
 def matmul_flops(fn, *args, **kwargs) -> int:
     """Exact MXU (dot/conv) FLOPs of one call of `fn` on these args.
 
-    Traces to a jaxpr on the current backend — cheap (no compilation). For a
-    train step this includes the backward pass, since autodiff is part of the
-    traced function."""
+    Traces to a jaxpr on the current backend — cheap (no compilation; though
+    tracing a fully-autodiffed 4-network step still costs ~1 min of host CPU
+    on a small host). For a train step this includes the backward pass, since
+    autodiff is part of the traced function."""
     jaxpr = jax.make_jaxpr(lambda *a: fn(*a, **kwargs))(*args)
     return _jaxpr_flops(jaxpr.jaxpr)
+
+
+def _args_signature(args) -> str:
+    import json
+
+    sig = jax.tree.map(lambda x: [list(getattr(x, "shape", ())),
+                                  str(getattr(x, "dtype", type(x).__name__))],
+                       args)
+    return json.dumps(sig, sort_keys=True, default=str)
+
+
+def matmul_flops_cached(fn, *args, salt: str = "",
+                        cache_path: str | None = None, **kwargs) -> int:
+    """matmul_flops with a persistent JSON cache (bench.py: the host-side
+    jaxpr trace of the train step costs ~1 min per section on a 1-core
+    host — half the bench budget across four sections).
+
+    The key hashes: `salt` (the caller passes the full config dict — any
+    config change invalidates), the args' tree structure + shapes + dtypes
+    (any architecture change that moves a parameter or input shape
+    invalidates), and the jax version. A model-code edit that changes the
+    program while preserving every shape AND the config would alias — delete
+    the cache file (or set SCRABBLEGAN_FLOPS_NO_CACHE=1) after such an edit.
+    """
+    import hashlib
+    import json
+    import os
+
+    if not cache_path or os.environ.get("SCRABBLEGAN_FLOPS_NO_CACHE"):
+        return matmul_flops(fn, *args, **kwargs)
+    key = hashlib.sha256(
+        (salt + "|" + _args_signature(args) + "|" + jax.__version__)
+        .encode()).hexdigest()[:32]
+    cache = {}
+    if os.path.isfile(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+    if key in cache:
+        return int(cache[key]["flops"])
+    flops = matmul_flops(fn, *args, **kwargs)
+    cache[key] = {"flops": int(flops),
+                  "note": salt[:120]}
+    os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+    with open(cache_path, "w") as f:
+        json.dump(cache, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return flops
