@@ -11,6 +11,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -48,6 +49,13 @@ def main(argv=None):
         cfg = replace(cfg, shared=replace(cfg.shared, z_source=args.z_source))
 
     export = latest_generator_export(args.model_dir) or args.model_dir
+    from scrabblegan_tpu.eval.gate import latest_good_export
+
+    good = latest_good_export(args.model_dir)
+    if good and os.path.realpath(good) != os.path.realpath(export):
+        print(f"serving latest KNOWN-GOOD export {good} (newest epoch is "
+              f"gate-flagged)")
+        export = good
     variables = load_generator(export)
     generator = build_models(cfg).generator
     h, w, _ = cfg.io.input_dim

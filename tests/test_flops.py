@@ -79,3 +79,43 @@ class TestModelCounts:
         # fully convolutional over width: ~2x flops at 2x length (attention
         # adds a quadratic term, disabled here)
         np.testing.assert_allclose(f10 / f5, 2.0, rtol=0.15)
+
+
+class TestFlopsCache:
+    """matmul_flops_cached (bench.py): persistent JSON cache keyed on
+    salt + arg shapes/dtypes + jax version."""
+
+    def _fn(self, x):
+        return x @ x
+
+    def test_hit_skips_retrace(self, tmp_path, monkeypatch):
+        from scrabblegan_tpu.utils import flops as F
+
+        path = str(tmp_path / "cache.json")
+        x = jnp.zeros((8, 8))
+        a = F.matmul_flops_cached(self._fn, x, salt="s", cache_path=path)
+        assert a == 2 * 8 * 8 * 8
+        calls = []
+        monkeypatch.setattr(F, "matmul_flops",
+                            lambda *a, **k: calls.append(1) or 0)
+        b = F.matmul_flops_cached(self._fn, x, salt="s", cache_path=path)
+        assert b == a and not calls  # served from disk, no retrace
+
+    def test_salt_and_shape_invalidate(self, tmp_path):
+        from scrabblegan_tpu.utils import flops as F
+
+        path = str(tmp_path / "cache.json")
+        x = jnp.zeros((8, 8))
+        F.matmul_flops_cached(self._fn, x, salt="a", cache_path=path)
+        import json
+
+        n1 = len(json.load(open(path)))
+        F.matmul_flops_cached(self._fn, x, salt="b", cache_path=path)
+        F.matmul_flops_cached(self._fn, jnp.zeros((4, 4)), salt="a",
+                              cache_path=path)
+        assert len(json.load(open(path))) == n1 + 2
+
+    def test_no_cache_path_passthrough(self):
+        from scrabblegan_tpu.utils import flops as F
+
+        assert F.matmul_flops_cached(self._fn, jnp.zeros((2, 2))) == 16
