@@ -581,6 +581,12 @@ class Trainer:
                 if watchdog:
                     watchdog.beat()
                 self.last_epoch_secs = time.time() - t0
+                # batch-loop wall per epoch (artifacts excluded), appended in
+                # epoch order — bench.py takes a best-of over warm epochs to
+                # ride out tunnel-congestion phases
+                if not hasattr(self, "epoch_secs"):
+                    self.epoch_secs = []
+                self.epoch_secs.append(self.last_epoch_secs)
                 if self.verbose:
                     print(f"Time for epoch {epoch_idx + 1} is "
                           f"{self.last_epoch_secs:.1f} sec")
