@@ -40,7 +40,7 @@ class TestDryrunBudget:
 
     def test_middle_budget_defers_only_orbax(self, monkeypatch, capsys):
         # enough for ~3.5 legs: all three modes run, Orbax leg deferred
-        calls, out = _run(monkeypatch, capsys, budget=0.25, leg_secs=0.05)
+        calls, out = _run(monkeypatch, capsys, budget=0.20, leg_secs=0.05)
         assert calls == [("fsdp", True), ("tp", True), ("fsdp+tp", False)]
         assert "Orbax leg deferred" in out
 
